@@ -1,0 +1,503 @@
+"""Pasta curve cycle: Pallas (over Fp) and Vesta (over Fq), plus hash-to-curve.
+
+Host-side exact implementation; the batched TPU point kernels in
+`taiga_tpu.ops.ec` are differentially tested against this module.
+
+  Pallas: y^2 = x^3 + 5 over Fp, group order q, generator (-1, 2)
+  Vesta:  y^2 = x^3 + 5 over Fq, group order p, generator (-1, 2)
+
+Hash-to-curve follows the pasta_curves construction used by the reference
+(`/root/reference/taiga_halo2/src/utils.rs:50-68`): simplified SWU onto a
+3-isogenous curve Iso-Pallas (a, b=1265, Z=-13), then the degree-3 isogeny map
+back to Pallas. The isogeny constants are *derived at import time* via Velu's
+formulas (kernel = the 3-torsion of Pallas with x^3 = -20), and validated by
+checking the composed map lands on y^2 = x^3 + 5. Note: where a choice of
+cube/square root is free, we fix a deterministic choice; see ISO_A below.
+
+Point encoding matches pasta_curves `GroupEncoding`: 32-byte little-endian x
+with the sign of y (oddness) in the top bit; identity is 32 zero bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .fields import Field, Fp, Fq
+
+# ---------------------------------------------------------------------------
+# Generic short-Weierstrass point (affine + infinity flag), host-side exact.
+# ---------------------------------------------------------------------------
+
+
+class CurvePoint:
+    """A point on y^2 = x^3 + A x + B over FIELD. Subclasses set parameters."""
+
+    __slots__ = ("x", "y", "infinity")
+
+    FIELD: type[Field] = Fp
+    A: int = 0
+    B: int = 5
+    SCALAR: type[Field] = Fq  # scalar field (group order field)
+
+    def __init__(self, x: Field | None, y: Field | None, infinity: bool = False):
+        self.infinity = infinity
+        if infinity:
+            self.x = self.FIELD.zero()
+            self.y = self.FIELD.zero()
+        else:
+            self.x = x
+            self.y = y
+
+    # --- constructors -------------------------------------------------
+    @classmethod
+    def identity(cls):
+        return cls(None, None, infinity=True)
+
+    @classmethod
+    def generator(cls):
+        f = cls.FIELD
+        return cls(f(-1), f(2))
+
+    @classmethod
+    def from_xy(cls, x: int, y: int):
+        p = cls(cls.FIELD(x), cls.FIELD(y))
+        assert p.is_on_curve(), "point not on curve"
+        return p
+
+    @classmethod
+    def random(cls, rng=None):
+        return cls.generator() * cls.SCALAR.random(rng).v
+
+    @classmethod
+    def from_bytes(cls, b: bytes):
+        """pasta compressed encoding; returns None on invalid."""
+        assert len(b) == 32
+        if b == bytes(32):
+            return cls.identity()
+        sign = (b[31] >> 7) & 1
+        xb = bytes(b[:31]) + bytes([b[31] & 0x7F])
+        x = cls.FIELD.from_repr(xb)
+        if x is None:
+            return None
+        f = cls.FIELD
+        rhs = x.square() * x + f(cls.A) * x + f(cls.B)
+        y = rhs.sqrt()
+        if y is None:
+            return None
+        if y.is_odd() != bool(sign):
+            y = -y
+        if x.is_zero() and y.is_zero():
+            return None
+        return cls(x, y)
+
+    # --- encoding -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        if self.infinity:
+            return bytes(32)
+        xb = bytearray(self.x.to_repr())
+        if self.y.is_odd():
+            xb[31] |= 0x80
+        return bytes(xb)
+
+    def coordinates(self):
+        assert not self.infinity
+        return (self.x, self.y)
+
+    # --- predicates ---------------------------------------------------
+    def is_identity(self) -> bool:
+        return self.infinity
+
+    def is_on_curve(self) -> bool:
+        if self.infinity:
+            return True
+        f = self.FIELD
+        return self.y.square() == self.x.square() * self.x + f(self.A) * self.x + f(self.B)
+
+    # --- group law ----------------------------------------------------
+    def __neg__(self):
+        if self.infinity:
+            return self
+        return type(self)(self.x, -self.y)
+
+    def __add__(self, other):
+        if self.infinity:
+            return other
+        if other.infinity:
+            return self
+        if self.x == other.x:
+            if self.y == -other.y:
+                return type(self).identity()
+            # doubling
+            f = self.FIELD
+            lam = (f(3) * self.x.square() + f(self.A)) / self.y.double()
+        else:
+            lam = (other.y - self.y) / (other.x - self.x)
+        x3 = lam.square() - self.x - other.x
+        y3 = lam * (self.x - x3) - self.y
+        return type(self)(x3, y3)
+
+    def __sub__(self, other):
+        return self + (-other)
+
+    def double(self):
+        return self + self
+
+    def __mul__(self, scalar):
+        """Scalar multiplication; scalar may be int or a SCALAR field element."""
+        k = scalar.v if isinstance(scalar, Field) else int(scalar)
+        k %= self.SCALAR.MODULUS
+        acc = type(self).identity()
+        add = self
+        while k:
+            if k & 1:
+                acc = acc + add
+            add = add + add
+            k >>= 1
+        return acc
+
+    __rmul__ = __mul__
+
+    def __eq__(self, other):
+        if not isinstance(other, CurvePoint):
+            return NotImplemented
+        if self.infinity or other.infinity:
+            return self.infinity == other.infinity
+        return self.x == other.x and self.y == other.y
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.infinity, self.x.v, self.y.v))
+
+    def __repr__(self):
+        if self.infinity:
+            return f"{type(self).__name__}(identity)"
+        return f"{type(self).__name__}(x=0x{self.x.v:x}, y=0x{self.y.v:x})"
+
+
+class PallasPoint(CurvePoint):
+    __slots__ = ()
+    FIELD, SCALAR, A, B = Fp, Fq, 0, 5
+
+
+class VestaPoint(CurvePoint):
+    __slots__ = ()
+    FIELD, SCALAR, A, B = Fq, Fp, 0, 5
+
+
+def extract_p(point: PallasPoint) -> Fp:
+    """x-coordinate extractor; identity -> 0 (reference utils.rs:23-29)."""
+    if point.is_identity():
+        return Fp.zero()
+    return point.x
+
+
+# ---------------------------------------------------------------------------
+# Iso-Pallas + isogeny derivation (Velu), for simplified-SWU hash-to-curve.
+# ---------------------------------------------------------------------------
+
+_P = Fp.MODULUS
+
+
+def _poly_mulmod(a, b, f, p):
+    """(a*b) mod f over GF(p); dense coefficient lists, lowest degree first."""
+    res = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        if ai:
+            for j, bj in enumerate(b):
+                res[i + j] = (res[i + j] + ai * bj) % p
+    return _poly_mod(res, f, p)
+
+
+def _poly_mod(a, f, p):
+    a = list(a)
+    df = len(f) - 1
+    inv_lead = pow(f[-1], -1, p)
+    for i in range(len(a) - 1, df - 1, -1):
+        c = a[i] * inv_lead % p
+        if c:
+            for j in range(df + 1):
+                a[i - df + j] = (a[i - df + j] - c * f[j]) % p
+        a.pop()
+    while len(a) > 1 and a[-1] == 0:
+        a.pop()
+    return a if a else [0]
+
+
+def _poly_trim(a):
+    a = list(a)
+    while len(a) > 1 and a[-1] == 0:
+        a.pop()
+    return a
+
+
+def _poly_gcd(a, b, p):
+    a, b = _poly_trim(a), _poly_trim(b)
+    while not (len(b) == 1 and b[0] == 0):
+        a, b = b, _poly_trim(_poly_mod(a, b, p))
+    # normalize monic
+    inv = pow(a[-1], -1, p)
+    return [c * inv % p for c in a]
+
+
+def _poly_powmod(base, e, f, p):
+    result = [1]
+    base = _poly_mod(base, f, p)
+    while e:
+        if e & 1:
+            result = _poly_mulmod(result, base, f, p)
+        base = _poly_mulmod(base, base, f, p)
+        e >>= 1
+    return result
+
+
+def _poly_roots(f, p):
+    """All roots in GF(p) of polynomial f (lowest-degree-first coeffs)."""
+    # strip content / make monic
+    f = [c % p for c in f]
+    while len(f) > 1 and f[-1] == 0:
+        f.pop()
+    if len(f) <= 1:
+        return []
+    inv = pow(f[-1], -1, p)
+    f = [c * inv % p for c in f]
+    # g = gcd(x^p - x, f): product of linear factors
+    xp = _poly_powmod([0, 1], p, f, p)
+    xp_minus_x = list(xp)
+    while len(xp_minus_x) < 2:
+        xp_minus_x.append(0)
+    xp_minus_x[1] = (xp_minus_x[1] - 1) % p
+    g = _poly_gcd(f, xp_minus_x, p)
+    return sorted(_split_linear(g, p))
+
+
+def _split_linear(g, p, _shift=0):
+    """Equal-degree splitting of a product of distinct linear factors."""
+    deg = len(g) - 1
+    if deg == 0:
+        return []
+    if deg == 1:
+        return [(-g[0]) * pow(g[1], -1, p) % p]
+    # try shifts deterministically: h = (x + s)^((p-1)/2) - 1 mod g
+    s = _shift
+    while True:
+        h = _poly_powmod([s, 1], (p - 1) >> 1, g, p)
+        h = list(h)
+        h[0] = (h[0] - 1) % p
+        while len(h) > 1 and h[-1] == 0:
+            h.pop()
+        if len(h) > 1 or h[0] != 0:
+            d = _poly_gcd(g, h, p)
+            if 0 < len(d) - 1 < deg:
+                q = _poly_exact_div(g, d, p)
+                return _split_linear(d, p, s + 1) + _split_linear(q, p, s + 1)
+        s += 1
+
+
+def _poly_exact_div(a, b, p):
+    a = list(a)
+    out = [0] * (len(a) - len(b) + 1)
+    inv_lead = pow(b[-1], -1, p)
+    for i in range(len(a) - 1, len(b) - 2, -1):
+        c = a[i] * inv_lead % p
+        out[i - (len(b) - 1)] = c
+        if c:
+            for j in range(len(b)):
+                a[i - (len(b) - 1) + j] = (a[i - (len(b) - 1) + j] - c * b[j]) % p
+    return out
+
+
+def _velu_3_isogeny(a, b, x0, p):
+    """Degree-3 isogeny from E:(a,b) with kernel x-coordinate x0 (Velu).
+
+    Returns ((a2, b2), (t, u)) where the codomain is y^2 = x^3 + a2 x + b2 and
+    the map is X = x + t/(x-x0) + u/(x-x0)^2, Y = y * d(X)/dx.
+    """
+    gx = (3 * x0 * x0 + a) % p
+    y0sq = (x0 * x0 * x0 + a * x0 + b) % p
+    t = (2 * gx) % p  # 6 x0^2 + 2a
+    u = (4 * y0sq) % p
+    w = (u + x0 * t) % p
+    a2 = (a - 5 * t) % p
+    b2 = (b - 7 * w) % p
+    return (a2, b2), (t, u)
+
+
+def _derive_iso_constants():
+    """Derive Iso-Pallas (A', B') and the 13 isogeny-map constants.
+
+    Steps (all over Fp):
+      1. Pallas 3-torsion: psi3(x) = 3x^4 + 60x = 3x(x^3 + 20); the non-zero
+         kernel x-coords satisfy x^3 = -20. Velu with that kernel gives the
+         3-isogenous curve (A', B') with B' = 1265 (matches pasta's iso b).
+      2. On Iso-Pallas, find the 3-torsion kernel whose Velu codomain is
+         isomorphic to Pallas (a=0), compose with the scaling isomorphism
+         u: (x, y) -> (u^2 x, u^3 y) with u^6 * b2 = 5.
+      3. Express the composed map in the pasta iso_map layout:
+           x -> (k0 x^3 + k1 x^2 + k2 x + k3) / (x^2 + k4 x + k5)
+           y -> y * (k6 x^3 + k7 x^2 + k8 x + k9) / (x^3 + k10 x^2 + k11 x + k12)
+    """
+    p = _P
+    # Step 1: iso curve.
+    roots = _poly_roots([20, 0, 0, 1], p)  # x^3 + 20 = 0
+    assert roots, "x^3 = -20 must have a root in Fp (p = 1 mod 3)"
+    # Deterministic: the smallest root reproduces pasta_curves' ISO_A
+    # (0x18354a2e...657a014b), independently validating this choice.
+    x0 = roots[0]
+    (iso_a, iso_b), (t0, u0) = _velu_3_isogeny(0, 5, x0, p)
+    assert iso_b == 1265, f"unexpected iso b: {iso_b}"
+
+    def _fwd(x, y):
+        """Forward Velu map Pallas -> Iso-Pallas with kernel x0."""
+        d = (x - x0) % p
+        X = (x + t0 * pow(d, -1, p) + u0 * pow(d, -2, p)) % p
+        Y = y * (1 - t0 * pow(d, -2, p) - 2 * u0 * pow(d, -3, p)) % p
+        return X, Y
+
+    # A fixed non-kernel test point for the duality check: 9 * generator.
+    gx, gy = (-1) % p, 2
+    tp = PallasPoint(Fp(gx), Fp(gy)) * 9
+    tp3 = tp * 3
+
+    # Step 2: dual direction, Iso-Pallas -> Pallas.
+    # psi3 on E' : 3x^4 + 6 a x^2 + 12 b x - a^2
+    psi3 = [(-iso_a * iso_a) % p, (12 * iso_b) % p, (6 * iso_a) % p, 0, 3]
+    for x1 in _poly_roots(psi3, p):
+        (a2, b2), (t, u) = _velu_3_isogeny(iso_a, iso_b, x1, p)
+        if a2 != 0:
+            continue
+        # scaling: su^6 = 5 / b2. Among the six 6th roots, exactly one makes
+        # the composed map the *dual* isogeny (phi_hat o phi = [3]); the other
+        # five compose with a non-trivial automorphism of the j=0 curve. Pick
+        # the canonical dual (for Pallas this selects su = 1/3, reproducing
+        # pasta's patterned iso-map constants, e.g. iso[0]=0x0e38e38e..aaab).
+        c = 5 * pow(b2, -1, p) % p
+        for su in _poly_roots([(-c) % p, 0, 0, 0, 0, 0, 1], p):
+            fx, fy = _fwd(tp.x.v, tp.y.v)
+            d = (fx - x1) % p
+            Xv = (fx + t * pow(d, -1, p) + u * pow(d, -2, p)) % p
+            Yv = fy * (1 - t * pow(d, -2, p) - 2 * u * pow(d, -3, p)) % p
+            cand = PallasPoint(Fp(su * su % p * Xv % p), Fp(pow(su, 3, p) * Yv % p))
+            if not (cand.is_on_curve() and cand == tp3):
+                continue
+            # Composed map: X = su^2 * Xv(x), Y = su^3 * Yv(x, y)
+            # Xv = (x(x-x1)^2 + t(x-x1) + u) / (x-x1)^2
+            #    = (x^3 - 2x1 x^2 + (x1^2+t) x + (u - t x1)) / (x^2 - 2x1 x + x1^2)
+            su2, su3 = su * su % p, su * su % p * su % p
+            k0 = su2
+            k1 = su2 * (-2 * x1) % p
+            k2 = su2 * (x1 * x1 + t) % p
+            k3 = su2 * (u - t * x1) % p
+            k4 = (-2 * x1) % p
+            k5 = (x1 * x1) % p
+            # Yv = y * ((x-x1)^3 - t(x-x1) - 2u) / (x-x1)^3
+            # num = x^3 - 3x1 x^2 + (3x1^2 - t) x + (-x1^3 + t x1 - 2u)
+            k6 = su3
+            k7 = su3 * (-3 * x1) % p
+            k8 = su3 * (3 * x1 * x1 - t) % p
+            k9 = su3 * (-pow(x1, 3, p) + t * x1 - 2 * u) % p
+            k10 = (-3 * x1) % p
+            k11 = (3 * x1 * x1) % p
+            k12 = (-pow(x1, 3, p)) % p
+            return iso_a, iso_b, [k0, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11, k12]
+    raise AssertionError("no valid dual 3-isogeny found")
+
+
+ISO_A, ISO_B, ISOGENY_CONSTANTS = _derive_iso_constants()
+
+# SWU constant Z for Pallas (pasta_curves: Z = -13).
+SWU_Z = (-13) % _P
+
+
+class IsoPallasPoint(CurvePoint):
+    """The 3-isogenous curve used as the SWU target."""
+
+    __slots__ = ()
+    FIELD, SCALAR, A, B = Fp, Fq, ISO_A, ISO_B
+
+
+def map_to_curve_simple_swu(u: Fp) -> IsoPallasPoint:
+    """Simplified SWU map Fp -> Iso-Pallas (constant-free host version).
+
+    Standard simplified SWU for a curve with A,B != 0 (RFC 9380 §6.6.2 /
+    pasta_curves `hashtocurve::map_to_curve_simple_swu`), with the pasta sign
+    convention sgn0(y) = sgn0(u) where sgn0 = oddness.
+    """
+    p = _P
+    A, B, Z = ISO_A, ISO_B, SWU_Z
+    uv = u.v
+    z_u2 = Z * uv % p * uv % p
+    tv = (z_u2 * z_u2 + z_u2) % p  # Z^2 u^4 + Z u^2
+    if tv == 0:
+        x1 = B * pow(Z * A % p, -1, p) % p  # B / (Z A)
+    else:
+        x1 = (-B * pow(A, -1, p)) % p * (1 + pow(tv, -1, p)) % p
+    gx1 = (pow(x1, 3, p) + A * x1 + B) % p
+    y1 = Fp(gx1).sqrt()
+    if y1 is not None:
+        x, y = x1, y1.v
+    else:
+        x2 = z_u2 * x1 % p
+        gx2 = (pow(x2, 3, p) + A * x2 + B) % p
+        y2 = Fp(gx2).sqrt()
+        assert y2 is not None, "SWU: one of gx1, gx2 must be square"
+        x, y = x2, y2.v
+    # sign correction: sgn0(y) == sgn0(u)
+    if (y & 1) != (uv & 1):
+        y = (-y) % p
+    return IsoPallasPoint(Fp(x), Fp(y))
+
+
+def iso_map(pt: IsoPallasPoint) -> PallasPoint:
+    """Apply the 3-isogeny Iso-Pallas -> Pallas (pasta `hashtocurve::iso_map`)."""
+    if pt.is_identity():
+        return PallasPoint.identity()
+    p = _P
+    k = ISOGENY_CONSTANTS
+    x, y = pt.x.v, pt.y.v
+    num_x = (((k[0] * x + k[1]) % p * x + k[2]) % p * x + k[3]) % p
+    div_x = ((x + k[4]) % p * x + k[5]) % p
+    num_y = ((((k[6] * x + k[7]) % p * x + k[8]) % p * x + k[9]) % p) * y % p
+    div_y = (((x + k[10]) % p * x + k[11]) % p * x + k[12]) % p
+    if div_x == 0 or div_y == 0:
+        # the kernel maps to the identity
+        return PallasPoint.identity()
+    X = num_x * pow(div_x, -1, p) % p
+    Y = num_y * pow(div_y, -1, p) % p
+    out = PallasPoint(Fp(X), Fp(Y))
+    assert out.is_on_curve()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Blake2b-based hash_to_curve (pasta_curves style), for fixed generators.
+# ---------------------------------------------------------------------------
+
+
+def hash_to_field(curve_id: str, domain_prefix: str, message: bytes) -> tuple[Fp, Fp]:
+    """expand_message_xmd with BLAKE2b-512 -> two wide-reduced field elements.
+
+    Construction mirrors pasta_curves `hashtocurve::hash_to_field`:
+      DST = domain_prefix || "-" || curve_id || "_XMD:BLAKE2b_SSWU_RO_"
+      b0 = H(Z_pad(128) || msg || I2OSP(l=128,2) || I2OSP(0,1) || DST || len(DST))
+      b1 = H(b0 || I2OSP(1,1) || DST || len(DST))
+      b2 = H((b0 xor b1) || I2OSP(2,1) || DST || len(DST))
+      u0 = from_uniform_bytes(b1); u1 = from_uniform_bytes(b2)
+    """
+    dst = (domain_prefix + "-" + curve_id + "_XMD:BLAKE2b_SSWU_RO_").encode()
+    assert len(dst) < 256
+
+    def H(data: bytes) -> bytes:
+        return hashlib.blake2b(data, digest_size=64).digest()
+
+    suffix = dst + bytes([len(dst)])
+    b0 = H(bytes(128) + message + bytes([0, 128]) + bytes([0]) + suffix)
+    b1 = H(b0 + bytes([1]) + suffix)
+    b2 = H(bytes(a ^ b for a, b in zip(b0, b1)) + bytes([2]) + suffix)
+    return Fp.from_uniform_bytes(b1), Fp.from_uniform_bytes(b2)
+
+
+def pallas_hash_to_curve(domain_prefix: str, message: bytes) -> PallasPoint:
+    """Full hash-to-curve onto Pallas (used for fixed generator derivation)."""
+    u0, u1 = hash_to_field("pallas", domain_prefix, message)
+    q0 = map_to_curve_simple_swu(u0)
+    q1 = map_to_curve_simple_swu(u1)
+    return iso_map(q0 + q1)
