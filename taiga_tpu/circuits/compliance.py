@@ -1,0 +1,285 @@
+"""The compliance (Action) circuit — the fixed protocol circuit.
+
+Statement (9 public inputs, rows per core/constants.py, mirroring
+/root/reference/taiga_halo2/src/circuit/compliance_circuit.rs):
+  row 0: nf           nullifier of the consumed input resource
+  row 1: anchor       Merkle root the input resource is a member of
+                      (only enforced when the input is not ephemeral)
+  row 2: cm           commitment of the created output resource
+  row 3: delta_x      homomorphic delta commitment x
+  row 4: delta_y      homomorphic delta commitment y
+  rows 5-8: input/output resource-logic commitments (2 x 128-bit halves each)
+
+In-circuit relations (see gadget docstrings for layouts):
+  * input integrity  (integrity.rs:51-190): npk = Poseidon(nk, 0); psi/rcm
+    PRF-derived; cm_in = Poseidon-8; u64 quantity range check; nf derived;
+  * depth-32 Poseidon Merkle membership + the ephemeral-gated anchor equality
+    (compliance_circuit.rs:126-140, 261-278);
+  * output integrity (integrity.rs:193-325): nonce_out = nf; psi/rcm derived
+    in-circuit; cm_out = Poseidon-8;
+  * delta commitment (integrity.rs:546-630): [q_in]K_in - [q_out]K_out +
+    [rcv]R via in-circuit EC scalar muls. NOTE(v1): the kind points K are
+    witnessed and their Poseidon-to-field preimages constrained; the SWU/
+    isogeny map from u-values to the curve point is host-computed and not yet
+    constrained in-circuit (tracked: TODO(swu-gadget));
+  * resource-logic commitments. NOTE(v1): publicized as witnessed public
+    inputs; the in-circuit Blake2s recomputation is tracked: TODO(blake2s-gadget).
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from ..core.constants import (
+    PRF_EXPAND_PSI,
+    PRF_EXPAND_RCM,
+    TAIGA_COMMITMENT_TREE_DEPTH,
+    prf_expand_personalization_to_field,
+    resource_commitment_r_generator,
+)
+from ..crypto.curves import PallasPoint
+from ..crypto.fields import Fp, Fq
+from ..plonk.circuit import Circuit, CircuitBuilder, ConstraintSystem
+from . import gadgets as G
+
+P = Fp.MODULUS
+
+
+def _blind_base() -> PallasPoint:
+    """Deterministic accumulator-blinding point for incomplete-add scalar
+    muls (no known discrete-log relation to any protocol point)."""
+    from ..crypto.curves import pallas_hash_to_curve
+
+    return pallas_hash_to_curve("taiga-tpu-ec-blind", b"acc")
+
+
+class _PointCells:
+    def __init__(self, x, y):
+        self.x = x
+        self.y = y
+
+
+def ec_add_gadget(b: CircuitBuilder, p1: _PointCells, p2: _PointCells) -> _PointCells:
+    """Incomplete affine addition (one row). Caller must ensure x1 != x2."""
+    row = b.alloc_rows(1)
+    b.assign_fixed(G.Q_EC_ADD, row, 1)
+    known = p1.x.value is not None and p2.x.value is not None
+    if known:
+        x1, y1, x2, y2 = p1.x.value, p1.y.value, p2.x.value, p2.y.value
+        assert x1 != x2, "incomplete add degeneracy"
+        lam = (y2 - y1) * pow(x2 - x1, -1, P) % P
+        x3 = (lam * lam - x1 - x2) % P
+        y3 = (lam * (x1 - x3) - y1) % P
+    else:
+        lam = x3 = y3 = None
+    cx1 = b.assign_advice(0, row, p1.x.value)
+    cy1 = b.assign_advice(1, row, p1.y.value)
+    cx2 = b.assign_advice(2, row, p2.x.value)
+    cy2 = b.assign_advice(3, row, p2.y.value)
+    b.assign_advice(4, row, lam)
+    cx3 = b.assign_advice(5, row, x3)
+    cy3 = b.assign_advice(6, row, y3)
+    b.copy(cx1, p1.x)
+    b.copy(cy1, p1.y)
+    b.copy(cx2, p2.x)
+    b.copy(cy2, p2.y)
+    return _PointCells(cx3, cy3)
+
+
+def ec_dbl_gadget(b: CircuitBuilder, p: _PointCells) -> _PointCells:
+    row = b.alloc_rows(1)
+    b.assign_fixed(G.Q_EC_DBL, row, 1)
+    if p.x.value is not None:
+        x1, y1 = p.x.value, p.y.value
+        lam = 3 * x1 * x1 % P * pow(2 * y1 % P, -1, P) % P
+        x3 = (lam * lam - 2 * x1) % P
+        y3 = (lam * (x1 - x3) - y1) % P
+    else:
+        lam = x3 = y3 = None
+    cx1 = b.assign_advice(0, row, p.x.value)
+    cy1 = b.assign_advice(1, row, p.y.value)
+    b.assign_advice(2, row, lam)
+    cx3 = b.assign_advice(3, row, x3)
+    cy3 = b.assign_advice(4, row, y3)
+    b.copy(cx1, p.x)
+    b.copy(cy1, p.y)
+    return _PointCells(cx3, cy3)
+
+
+def ec_select_gadget(b: CircuitBuilder, flag, p: _PointCells, q: _PointCells) -> _PointCells:
+    return _PointCells(
+        G.select_cell(b, flag, p.x, q.x), G.select_cell(b, flag, p.y, q.y)
+    )
+
+
+def ec_scalar_mul_gadget(
+    b: CircuitBuilder, point: _PointCells, scalar_bits, blind: PallasPoint
+) -> _PointCells:
+    """[s]P for s given as little-endian boolean cells. Accumulator starts at
+    the blinding base T and ends subtracting [2^len]T, so every intermediate
+    add is between (w.h.p.) unrelated points — incomplete adds are safe."""
+    t = blind
+    acc = _PointCells(G.constant_cell(b, t.x.v), G.constant_cell(b, t.y.v))
+    # MSB-first double-and-add: acc = 2*acc + bit*P
+    for bit in reversed(scalar_bits):
+        acc = ec_dbl_gadget(b, acc)
+        added = ec_add_gadget(b, acc, point)
+        acc = ec_select_gadget(b, bit, added, acc)
+    # subtract [2^len] T: acc + (-[2^len] T)
+    corr = -(t * (1 << len(scalar_bits)))
+    corr_cells = _PointCells(
+        G.constant_cell(b, corr.x.v), G.constant_cell(b, corr.y.v)
+    )
+    return ec_add_gadget(b, acc, corr_cells)
+
+
+class ComplianceCircuit(Circuit):
+    NUM_FIXED = G.NUM_FIXED
+    NUM_ADVICE = G.NUM_ADVICE
+    NUM_INSTANCE = 1
+
+    def __init__(self, compliance_info=None):
+        """compliance_info: core.compliance.ComplianceInfo or None (keygen)."""
+        self.info = compliance_info
+
+    @classmethod
+    def configure(cls, cs: ConstraintSystem):
+        G.configure_standard(cs)
+        return None
+
+    # -- witness helpers ----------------------------------------------
+    def _w(self, f):
+        """Witness accessor: returns None in keygen mode."""
+        if self.info is None:
+            return None
+        return f(self.info)
+
+    def synthesize(self, b: CircuitBuilder, config):
+        info = self.info
+        w = lambda v: None if info is None else v
+
+        inp = None if info is None else info.input_resource
+        out = None if info is None else info.output_resource
+
+        pers = prf_expand_personalization_to_field().v
+        pers_c = G.constant_cell(b, pers)
+        zero = G.constant_cell(b, 0)
+        one = G.constant_cell(b, 1)
+
+        # --- input resource integrity --------------------------------
+        nk = G.witness_cell(b, w(inp.get_nk().v if info else None))
+        logic_in = G.witness_cell(b, w(inp.get_logic().v if info else None))
+        label_in = G.witness_cell(b, w(inp.get_label().v if info else None))
+        value_in = G.witness_cell(b, w(inp.value.v if info else None))
+        quantity_in = G.witness_cell(b, w(inp.quantity if info else None))
+        nonce_in = G.witness_cell(b, w(inp.nonce.inner().v if info else None))
+        eph_in = G.witness_cell(b, w((1 if inp.is_ephemeral else 0) if info else None))
+        rseed_in = G.witness_cell(b, w(inp.rseed.v if info else None))
+        G.is_bool(b, eph_in)
+        G.range_check(b, quantity_in, 64)
+
+        npk_in = G.poseidon_hash2_gadget(b, nk, zero)
+        psi_in = G.poseidon_hash_n_gadget(
+            b, [pers_c, G.constant_cell(b, PRF_EXPAND_PSI), rseed_in, nonce_in]
+        )
+        rcm_in = G.poseidon_hash_n_gadget(
+            b, [pers_c, G.constant_cell(b, PRF_EXPAND_RCM), rseed_in, nonce_in]
+        )
+        e_in = G.add_scaled(b, quantity_in, eph_in, 1 << 128)
+        cm_in = G.poseidon_hash_n_gadget(
+            b, [logic_in, label_in, value_in, npk_in, nonce_in, psi_in, e_in, rcm_in]
+        )
+        nf = G.poseidon_hash_n_gadget(b, [nk, nonce_in, psi_in, cm_in])
+        b.constrain_instance(nf, 0)
+
+        # --- merkle membership + gated anchor check ------------------
+        path_cells = []
+        for d in range(TAIGA_COMMITMENT_TREE_DEPTH):
+            if info is None:
+                sib, lr = None, None
+            else:
+                node, lrv = info.input_merkle_path.path[d]
+                sib = node.inner().v
+                lr = 1 if lrv.is_left() else 0
+            sc = G.witness_cell(b, sib)
+            lc = G.witness_cell(b, lr)
+            G.is_bool(b, lc)
+            path_cells.append((sc, lc))
+        root = G.merkle_root_gadget(b, cm_in, path_cells)
+        anchor = G.witness_cell(b, w(info.input_anchor.inner().v if info else None))
+        not_eph = G.sub_cells(b, one, eph_in)
+        diff = G.sub_cells(b, root, anchor)
+        gated = G.mul_cells(b, not_eph, diff)
+        G.assert_equal_constant(b, gated, 0)
+        b.constrain_instance(anchor, 1)
+
+        # --- output resource integrity -------------------------------
+        logic_out = G.witness_cell(b, w(out.get_logic().v if info else None))
+        label_out = G.witness_cell(b, w(out.get_label().v if info else None))
+        value_out = G.witness_cell(b, w(out.value.v if info else None))
+        quantity_out = G.witness_cell(b, w(out.quantity if info else None))
+        npk_out = G.witness_cell(b, w(out.get_npk().v if info else None))
+        eph_out = G.witness_cell(b, w((1 if out.is_ephemeral else 0) if info else None))
+        rseed_out = G.witness_cell(b, w(out.rseed.v if info else None))
+        G.is_bool(b, eph_out)
+        G.range_check(b, quantity_out, 64)
+        # output nonce = input nullifier (compliance.rs:128-153)
+        nonce_out = nf
+        psi_out = G.poseidon_hash_n_gadget(
+            b, [pers_c, G.constant_cell(b, PRF_EXPAND_PSI), rseed_out, nonce_out]
+        )
+        rcm_out = G.poseidon_hash_n_gadget(
+            b, [pers_c, G.constant_cell(b, PRF_EXPAND_RCM), rseed_out, nonce_out]
+        )
+        e_out = G.add_scaled(b, quantity_out, eph_out, 1 << 128)
+        cm_out = G.poseidon_hash_n_gadget(
+            b,
+            [logic_out, label_out, value_out, npk_out, nonce_out, psi_out, e_out, rcm_out],
+        )
+        b.constrain_instance(cm_out, 2)
+
+        # --- delta commitment ----------------------------------------
+        # kind points witnessed (TODO(swu-gadget): constrain u -> point map)
+        kind_in_pt = None if info is None else inp.get_kind()
+        kind_out_pt = None if info is None else out.get_kind()
+        kin = _PointCells(
+            G.witness_cell(b, w(kind_in_pt.x.v if info else None)),
+            G.witness_cell(b, w(kind_in_pt.y.v if info else None)),
+        )
+        kout = _PointCells(
+            G.witness_cell(b, w(kind_out_pt.x.v if info else None)),
+            G.witness_cell(b, w(kind_out_pt.y.v if info else None)),
+        )
+        q_in_bits = G.decompose_bits(b, quantity_in, 64)
+        q_out_bits = G.decompose_bits(b, quantity_out, 64)
+        rcv_val = None if info is None else info.get_rcv().v
+        rcv = G.witness_cell(b, rcv_val)
+        # NOTE: rcv is a Pallas *scalar*; since q > p the 255-bit witness can
+        # not overflow Fp; decompose to 255 bits for the fixed-base mul.
+        rcv_bits = G.decompose_bits(b, rcv, 255)
+
+        blind = _blind_base()
+        p1 = ec_scalar_mul_gadget(b, kin, q_in_bits, blind)
+        p2 = ec_scalar_mul_gadget(b, kout, q_out_bits, blind * 7)
+        r_gen = resource_commitment_r_generator()
+        r_cells = _PointCells(
+            G.constant_cell(b, r_gen.x.v), G.constant_cell(b, r_gen.y.v)
+        )
+        p3 = ec_scalar_mul_gadget(b, r_cells, rcv_bits, blind * 11)
+        # delta = p1 - p2 + p3
+        neg_p2 = _PointCells(p2.x, G.sub_cells(b, zero, p2.y))
+        d12 = ec_add_gadget(b, p1, neg_p2)
+        delta = ec_add_gadget(b, d12, p3)
+        b.constrain_instance(delta.x, 3)
+        b.constrain_instance(delta.y, 4)
+
+        # --- resource-logic commitments ------------------------------
+        # (TODO(blake2s-gadget): recompute in-circuit)
+        for slot, idx in ((0, 5), (1, 6), (2, 7), (3, 8)):
+            if info is None:
+                v = None
+            else:
+                cms = info.rl_commitment_public_inputs()
+                v = cms[slot].v
+            cell = G.witness_cell(b, v)
+            b.constrain_instance(cell, idx)

@@ -1,0 +1,325 @@
+"""Standard circuit configuration and gadget library.
+
+Column layout (shared by the compliance and resource-logic circuits):
+  advice a0..a11 (12 columns)
+    - a0..a2: arithmetic / poseidon state lanes
+    - a3..a10: bit lanes (8 bits per row) for decomposition/xor gadgets
+    - a11: word lane for recompositions
+  fixed:
+    f0..f4:  vanilla-gate coefficients q_l q_r q_m q_o q_c (on a0,a1,a2)
+    f5..f7:  poseidon round constants rc0 rc1 rc2
+    f8:      q_pos_full   (poseidon full-round gate, state -> next row)
+    f9:      q_pos_part   (poseidon partial-round gate)
+    f10:     q_bits       (a3..a10 boolean on this row)
+    f11:     q_xor        (a3..a10 rows r,r+1 -> r+2 bitwise xor)
+    f12:     q_recomp     (a11 = sum of 32 bits at rows r..r+3 over a3..a10)
+    f13:     q_ec_add     (incomplete affine add on one row)
+    f14:     q_ec_dbl     (affine double on one row)
+    f15:     q_ec_sel_add (conditional: bit ? acc+P : acc, one row)
+
+Gates keep degree <= 6 (MAX_GATE_DEGREE 7). Gadget functions assign witness
+values (host ints) and the matching fixed cells; rows allocate sequentially.
+
+Statement parity references: integrity gadgets mirror
+/root/reference/taiga_halo2/src/circuit/integrity.rs; merkle gadget mirrors
+circuit/merkle_circuit.rs; poseidon gate mirrors halo2_gadgets Pow5Chip
+semantics (via crypto/poseidon.py).
+"""
+
+from __future__ import annotations
+
+from ..crypto import poseidon as hp
+from ..crypto.fields import Fp
+from ..plonk.circuit import CircuitBuilder, ConstraintSystem
+from ..plonk.expression import Constant
+
+P = Fp.MODULUS
+
+NUM_ADVICE = 12
+NUM_FIXED = 16
+
+# fixed column indices
+QL, QR, QM, QO, QC = 0, 1, 2, 3, 4
+RC0, RC1, RC2 = 5, 6, 7
+Q_POS_FULL, Q_POS_PART = 8, 9
+Q_BITS, Q_XOR, Q_RECOMP = 10, 11, 12
+Q_EC_ADD, Q_EC_DBL, Q_EC_SEL_ADD = 13, 14, 15
+
+BIT_COLS = list(range(3, 11))  # a3..a10
+WORD_COL = 11
+
+
+def configure_standard(cs: ConstraintSystem):
+    """Install all standard gates; returns nothing (config is implicit)."""
+    a = [cs.advice(i) for i in range(NUM_ADVICE)]
+    f = [cs.fixed(i) for i in range(NUM_FIXED)]
+
+    # vanilla: q_l*a0 + q_r*a1 + q_m*a0*a1 + q_o*a2 + q_c = 0
+    cs.create_gate(
+        "vanilla",
+        f[QL] * a[0] + f[QR] * a[1] + f[QM] * a[0] * a[1] + f[QO] * a[2] + f[QC],
+    )
+
+    # poseidon rounds: state (a0,a1,a2) at row r -> row r+1
+    mds = hp.MDS
+
+    def sbox(x):
+        x2 = x * x
+        return x2 * x2 * x
+
+    full_in = [sbox(a[i] + f[RC0 + i]) for i in range(3)]
+    part_in = [sbox(a[0] + f[RC0]), a[1] + f[RC1], a[2] + f[RC2]]
+    for i in range(3):
+        nxt = a[i].at(1)
+        full_out = (
+            Constant(mds[i][0]) * full_in[0]
+            + Constant(mds[i][1]) * full_in[1]
+            + Constant(mds[i][2]) * full_in[2]
+        )
+        part_out = (
+            Constant(mds[i][0]) * part_in[0]
+            + Constant(mds[i][1]) * part_in[1]
+            + Constant(mds[i][2]) * part_in[2]
+        )
+        cs.create_gate(f"pos_full_{i}", f[Q_POS_FULL] * (full_out - nxt))
+        cs.create_gate(f"pos_part_{i}", f[Q_POS_PART] * (part_out - nxt))
+
+    # bits: a3..a10 boolean
+    for i, c in enumerate(BIT_COLS):
+        cs.create_gate(f"bit_{i}", f[Q_BITS] * a[c] * (a[c] - Constant(1)))
+
+    # xor: row r ^ row r+1 == row r+2 per bit column
+    for i, c in enumerate(BIT_COLS):
+        x, y, z = a[c], a[c].at(1), a[c].at(2)
+        cs.create_gate(f"xor_{i}", f[Q_XOR] * (x + y - Constant(2) * x * y - z))
+
+    # recomposition: a11[r] = sum_{j<4} sum_{i<8} bit[r+j][i] * 2^(8j+i)
+    acc = None
+    for j in range(4):
+        for i, c in enumerate(BIT_COLS):
+            term = Constant(1 << (8 * j + i)) * a[c].at(j)
+            acc = term if acc is None else acc + term
+    cs.create_gate("recomp32", f[Q_RECOMP] * (acc - a[WORD_COL]))
+
+    # EC gates (Pallas, a=0 b=5), one row each:
+    # add: cells x1,y1,x2,y2,lambda,x3,y3 in a0..a6 (incomplete: x1 != x2)
+    x1, y1, x2, y2, lam, x3, y3 = (a[i] for i in range(7))
+    cs.create_gate("ec_add_1", f[Q_EC_ADD] * ((x2 - x1) * lam - (y2 - y1)))
+    cs.create_gate("ec_add_2", f[Q_EC_ADD] * (lam * lam - x1 - x2 - x3))
+    cs.create_gate("ec_add_3", f[Q_EC_ADD] * (lam * (x1 - x3) - y1 - y3))
+    # dbl: cells x1,y1,lambda,x3,y3 in a0..a4
+    dx1, dy1, dlam, dx3, dy3 = (a[i] for i in range(5))
+    cs.create_gate("ec_dbl_1", f[Q_EC_DBL] * (Constant(2) * dy1 * dlam - Constant(3) * dx1 * dx1))
+    cs.create_gate("ec_dbl_2", f[Q_EC_DBL] * (dlam * dlam - Constant(2) * dx1 - dx3))
+    cs.create_gate("ec_dbl_3", f[Q_EC_DBL] * (dlam * (dx1 - dx3) - dy1 - dy3))
+    # conditional point selection is composed from select_cell (vanilla rows);
+    # Q_EC_SEL_ADD is reserved/unused for now.
+
+
+# ---------------------------------------------------------------------------
+# gadget assignment helpers
+# ---------------------------------------------------------------------------
+
+
+def assign_vanilla(b: CircuitBuilder, ql=0, qr=0, qm=0, qo=0, qc=0, va=None, vb=None, vc=None):
+    """One vanilla-gate row; returns the three advice cells."""
+    row = b.alloc_rows(1)
+    for col, v in ((QL, ql), (QR, qr), (QM, qm), (QO, qo), (QC, qc)):
+        if v:
+            b.assign_fixed(col, row, v)
+    ca = b.assign_advice(0, row, va)
+    cb = b.assign_advice(1, row, vb)
+    cc = b.assign_advice(2, row, vc)
+    return ca, cb, cc
+
+
+def constant_cell(b: CircuitBuilder, value: int):
+    """A cell constrained to a compile-time constant: a0 + (-value) = 0."""
+    ca, _, _ = assign_vanilla(b, ql=1, qc=(-value) % P, va=value)
+    return ca
+
+
+def add_cells(b: CircuitBuilder, x, y):
+    """c = x + y."""
+    val = None if x.value is None or y.value is None else (x.value + y.value) % P
+    ca, cb, cc = assign_vanilla(b, ql=1, qr=1, qo=P - 1, va=x.value, vb=y.value, vc=val)
+    b.copy(ca, x)
+    b.copy(cb, y)
+    return cc
+
+
+def sub_cells(b: CircuitBuilder, x, y):
+    val = None if x.value is None or y.value is None else (x.value - y.value) % P
+    ca, cb, cc = assign_vanilla(b, ql=1, qr=P - 1, qo=P - 1, va=x.value, vb=y.value, vc=val)
+    b.copy(ca, x)
+    b.copy(cb, y)
+    return cc
+
+
+def mul_cells(b: CircuitBuilder, x, y):
+    val = None if x.value is None or y.value is None else x.value * y.value % P
+    ca, cb, cc = assign_vanilla(b, qm=1, qo=P - 1, va=x.value, vb=y.value, vc=val)
+    b.copy(ca, x)
+    b.copy(cb, y)
+    return cc
+
+
+def assert_equal(b: CircuitBuilder, x, y):
+    b.copy(x, y)
+
+
+def assert_equal_constant(b: CircuitBuilder, x, value: int):
+    """x == constant via q_l*x + q_c = 0."""
+    ca, _, _ = assign_vanilla(b, ql=1, qc=(-value) % P, va=x.value)
+    b.copy(ca, x)
+
+
+def witness_cell(b: CircuitBuilder, value):
+    """A free advice cell (no gate), e.g. for public-input exposure."""
+    row = b.alloc_rows(1)
+    return b.assign_advice(0, row, value)
+
+
+def select_cell(b: CircuitBuilder, flag, x, y):
+    """flag ? x : y  ==  y + flag*(x - y); flag must be boolean elsewhere."""
+    d = sub_cells(b, x, y)
+    fd = mul_cells(b, flag, d)
+    return add_cells(b, fd, y)
+
+
+def is_bool(b: CircuitBuilder, x):
+    """x*(x-1) = 0 via vanilla gate: q_m*x*x + q_l*(-1)*x = 0."""
+    ca, cb, _ = assign_vanilla(b, qm=1, ql=P - 1, va=x.value, vb=x.value)
+    b.copy(ca, x)
+    b.copy(cb, x)
+
+
+# --- poseidon --------------------------------------------------------------
+
+
+def poseidon_permute(b: CircuitBuilder, state):
+    """In-circuit Poseidon permutation; state = 3 cells -> 3 cells (65 rows)."""
+    vals = [c.value for c in state]
+    known = all(v is not None for v in vals)
+    half = hp.FULL_ROUNDS // 2
+    rows = b.alloc_rows(65)
+    # seed row: copy the input state into (a0,a1,a2) at rows[0]
+    cur = []
+    for i in range(3):
+        cell = b.assign_advice(i, rows, vals[i])
+        b.copy(cell, state[i])
+        cur.append(cell)
+    cur_vals = list(vals)
+    for r in range(64):
+        row = rows + r
+        rc = hp.ROUND_CONSTANTS[r]
+        for i in range(3):
+            b.assign_fixed(RC0 + i, row, rc[i])
+        is_full = r < half or r >= half + hp.PARTIAL_ROUNDS
+        b.assign_fixed(Q_POS_FULL if is_full else Q_POS_PART, row, 1)
+        if known:
+            s = [(cur_vals[i] + rc[i]) % P for i in range(3)]
+            if is_full:
+                s = [pow(x, 5, P) for x in s]
+            else:
+                s[0] = pow(s[0], 5, P)
+            nxt = [
+                sum(hp.MDS[i][j] * s[j] for j in range(3)) % P for i in range(3)
+            ]
+        else:
+            nxt = [None, None, None]
+        cur = [b.assign_advice(i, row + 1, nxt[i]) for i in range(3)]
+        cur_vals = nxt
+    return cur
+
+
+def poseidon_hash_n_gadget(b: CircuitBuilder, message):
+    """ConstantLength<L> hash over cells; mirrors crypto.poseidon._hash_ints."""
+    L_ = len(message)
+    cap = constant_cell(b, (L_ << 64) % P)
+    zero = constant_cell(b, 0)
+    state = [zero, zero, cap]
+    k = -(-L_ // 2)
+    padded = list(message) + [zero] * (k * 2 - L_)
+    for c in range(k):
+        s0 = add_cells(b, state[0], padded[2 * c])
+        s1 = add_cells(b, state[1], padded[2 * c + 1])
+        state = poseidon_permute(b, [s0, s1, state[2]])
+    return state[0]
+
+
+def poseidon_hash2_gadget(b: CircuitBuilder, left, right):
+    return poseidon_hash_n_gadget(b, [left, right])
+
+
+# --- merkle ----------------------------------------------------------------
+
+
+def merkle_root_gadget(b: CircuitBuilder, leaf, path):
+    """Fold a Poseidon Merkle path; path = [(sibling_cell, lr_is_left_bit_cell)].
+
+    lr bit semantics: 1 => sibling is the LEFT child (reference merkle_tree.rs
+    LR::L), 0 => sibling is the right child. Bits must be boolean-constrained
+    by the caller (or come from constants).
+    """
+    node = leaf
+    for sibling, lr_bit in path:
+        left = select_cell(b, lr_bit, sibling, node)
+        right = select_cell(b, lr_bit, node, sibling)
+        node = poseidon_hash2_gadget(b, left, right)
+    return node
+
+
+# --- bit decomposition ------------------------------------------------------
+
+
+def decompose_bits(b: CircuitBuilder, cell, num_bits: int):
+    """Decompose a cell into `num_bits` boolean cells (LSB first) + enforce
+    recomposition. Rows of 8 bits in a3..a10 with q_bits; recomposition via a
+    weighted vanilla chain. NOTE: for num_bits = 255 the decomposition is NOT
+    automatically canonical; use `decompose_canonical` when parity soundness
+    matters."""
+    v = cell.value
+    bits = []
+    nrows = -(-num_bits // 8)
+    rows = b.alloc_rows(nrows)
+    for j in range(nrows):
+        b.assign_fixed(Q_BITS, rows + j, 1)
+        for i in range(8):
+            idx = 8 * j + i
+            bv = None if v is None else ((v >> idx) & 1 if idx < num_bits else 0)
+            bit = b.assign_advice(BIT_COLS[i], rows + j, bv)
+            if idx < num_bits:
+                bits.append(bit)
+            elif v is not None:
+                pass  # padding zeros (boolean-constrained, unconstrained value)
+    # recomposition: chain acc = acc + bit*2^i using vanilla rows
+    acc = None
+    for idx, bit in enumerate(bits):
+        if acc is None:
+            acc = mul_const(b, bit, 1)
+        else:
+            acc = add_scaled(b, acc, bit, 1 << idx)
+    assert_equal(b, acc, cell)
+    return bits
+
+
+def mul_const(b: CircuitBuilder, x, c: int):
+    val = None if x.value is None else x.value * c % P
+    ca, _, cc = assign_vanilla(b, ql=c % P, qo=P - 1, va=x.value, vc=val)
+    b.copy(ca, x)
+    return cc
+
+
+def add_scaled(b: CircuitBuilder, x, y, c: int):
+    """x + c*y."""
+    val = None if x.value is None or y.value is None else (x.value + c * y.value) % P
+    ca, cb, cc = assign_vanilla(b, ql=1, qr=c % P, qo=P - 1, va=x.value, vb=y.value, vc=val)
+    b.copy(ca, x)
+    b.copy(cb, y)
+    return cc
+
+
+def range_check(b: CircuitBuilder, cell, num_bits: int):
+    """cell < 2^num_bits (reference integrity.rs:632-651 quantity check)."""
+    decompose_bits(b, cell, num_bits)

@@ -1,0 +1,134 @@
+"""Proof plumbing: proving-key cache, Proof wrapper, RL verifying info.
+
+The reference re-keygens a proving key per resource-logic proof (~4s,
+taiga_halo2 constant.rs:6146 comment); here every circuit class keygens once
+per (class, k) and is cached in memory (SURVEY.md §7 hard part #6).
+
+`Proof` wraps raw transcript bytes (reference src/proof.rs). Verifying info
+structs bundle proof + public inputs per circuit, as in shielded_ptx.rs.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from ..crypto.fields import Fp
+from .constants import (
+    COMPLIANCE_CIRCUIT_PARAMS_SIZE,
+    RESOURCE_LOGIC_CIRCUIT_PARAMS_SIZE,
+    RESOURCE_LOGIC_CIRCUIT_RESOURCE_MERKLE_ROOT_IDX,
+    RESOURCE_LOGIC_CIRCUIT_SELF_RESOURCE_ID_IDX,
+)
+from .error import ProofError
+
+# Test hook: shrink circuit domains (keygen/prove cost) without touching the
+# protocol code. Production parity value is 15 (reference constant.rs:123).
+_PARAMS_OVERRIDE: dict[str, int] = {}
+
+
+def compliance_k() -> int:
+    return _PARAMS_OVERRIDE.get("compliance", COMPLIANCE_CIRCUIT_PARAMS_SIZE)
+
+
+def resource_logic_k() -> int:
+    return _PARAMS_OVERRIDE.get("rl", RESOURCE_LOGIC_CIRCUIT_PARAMS_SIZE)
+
+
+def set_params_size(compliance: int | None = None, rl: int | None = None):
+    if compliance is not None:
+        _PARAMS_OVERRIDE["compliance"] = compliance
+    if rl is not None:
+        _PARAMS_OVERRIDE["rl"] = rl
+
+
+_PK_CACHE: dict = {}
+_PK_LOCK = threading.Lock()
+
+
+def get_proving_key(circuit_cls, k: int):
+    """Cached keygen for a circuit class at domain size 2^k."""
+    key = (circuit_cls.__module__, circuit_cls.__qualname__, k)
+    with _PK_LOCK:
+        pk = _PK_CACHE.get(key)
+    if pk is None:
+        from ..plonk.keygen import keygen
+
+        pk = keygen(circuit_cls(), k)
+        with _PK_LOCK:
+            _PK_CACHE[key] = pk
+    return pk
+
+
+class Proof:
+    """Opaque proof bytes (reference src/proof.rs:20-64)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    @classmethod
+    def create(cls, circuit, instance: list[Fp], k: int) -> "Proof":
+        from ..plonk.prover import create_proof
+
+        pk = get_proving_key(type(circuit), k)
+        return cls(create_proof(pk, circuit, instance))
+
+    def verify(self, circuit_cls, instance: list[Fp], k: int) -> bool:
+        from ..plonk.verifier import verify_proof
+
+        pk = get_proving_key(circuit_cls, k)
+        return verify_proof(pk.vk, instance, self.data)
+
+    def to_bytes(self) -> bytes:
+        return self.data
+
+    @classmethod
+    def from_bytes(cls, b: bytes):
+        return cls(b)
+
+
+class ResourceLogicVerifyingInfo:
+    """{circuit id, proof, 22 public inputs} (reference
+    resource_logic_circuit.rs:79-90, with the vk replaced by the registered
+    circuit identity — see circuits/bytecode.py registry)."""
+
+    __slots__ = ("circuit_id", "proof", "public_inputs")
+
+    def __init__(self, circuit_id: str, proof: Proof, public_inputs: list[Fp]):
+        self.circuit_id = circuit_id
+        self.proof = proof
+        self.public_inputs = public_inputs
+
+    def verify(self):
+        from ..circuits.bytecode import circuit_class_by_id
+
+        cls = circuit_class_by_id(self.circuit_id)
+        if not self.proof.verify(cls, self.public_inputs, resource_logic_k()):
+            raise ProofError(f"resource logic proof failed: {self.circuit_id}")
+
+    def get_resource_merkle_root(self) -> Fp:
+        return self.public_inputs[RESOURCE_LOGIC_CIRCUIT_RESOURCE_MERKLE_ROOT_IDX]
+
+    def get_self_resource_id(self) -> Fp:
+        return self.public_inputs[RESOURCE_LOGIC_CIRCUIT_SELF_RESOURCE_ID_IDX]
+
+
+def prove_resource_logic(circuit) -> ResourceLogicVerifyingInfo:
+    """Run the real prover for a resource-logic circuit instance."""
+    instance = circuit.get_public_inputs()
+    proof = Proof.create(circuit, instance, resource_logic_k())
+    return ResourceLogicVerifyingInfo(type(circuit).circuit_id(), proof, instance)
+
+
+def verify_resource_logic_transparently(circuit) -> list[Fp]:
+    """MockProver-style transparent check; returns the public inputs
+    (reference resource_logic_circuit.rs:597-606 macro)."""
+    from ..plonk.mock import MockProver
+
+    instance = circuit.get_public_inputs()
+    mp = MockProver.run(resource_logic_k(), circuit, instance)
+    failures = mp.verify()
+    if failures:
+        raise ProofError("; ".join(failures))
+    return instance

@@ -51,6 +51,30 @@ class ResourceExistenceWitness:
         node = Node(self.get_identity())
         return MerklePath.from_pairs(self.merkle_path).root(node).inner()
 
+    def serialize(self) -> bytes:
+        """resource (202 B) + 4 x (32 B sibling + 1 B is_left) = 334 B
+        (borsh layout, reference resource_tree.rs:71-100)."""
+        out = self.resource.serialize()
+        for value, lr in self.merkle_path:
+            out += value.to_repr()
+            out += bytes([1 if lr.is_left() else 0])
+        return out
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ResourceExistenceWitness":
+        import io
+
+        r = io.BytesIO(data)
+        resource = Resource.deserialize(r)
+        path = []
+        for _ in range(TAIGA_RESOURCE_TREE_DEPTH):
+            v = Fp.from_repr(r.read(32))
+            if v is None:
+                raise ValueError("path node out of range")
+            b = r.read(1)[0]
+            path.append((v, LR.L if b == 0x01 else LR.R))
+        return cls(resource, path)
+
 
 class ResourceMerkleTreeLeaves:
     """Fixed 16-leaf binary Poseidon tree, zero-padded."""

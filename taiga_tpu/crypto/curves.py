@@ -321,40 +321,43 @@ def _velu_3_isogeny(a, b, x0, p):
     return (a2, b2), (t, u)
 
 
-def _derive_iso_constants():
-    """Derive Iso-Pallas (A', B') and the 13 isogeny-map constants.
+def _derive_iso_constants(field=Fp, curve=None):
+    """Derive the iso-curve (A', B') and the 13 isogeny-map constants for a
+    Pasta curve (works for both Pallas over Fp and Vesta over Fq).
 
-    Steps (all over Fp):
-      1. Pallas 3-torsion: psi3(x) = 3x^4 + 60x = 3x(x^3 + 20); the non-zero
-         kernel x-coords satisfy x^3 = -20. Velu with that kernel gives the
-         3-isogenous curve (A', B') with B' = 1265 (matches pasta's iso b).
-      2. On Iso-Pallas, find the 3-torsion kernel whose Velu codomain is
-         isomorphic to Pallas (a=0), compose with the scaling isomorphism
-         u: (x, y) -> (u^2 x, u^3 y) with u^6 * b2 = 5.
+    Steps (all over the curve's base field):
+      1. 3-torsion of y^2 = x^3 + 5: psi3(x) = 3x^4 + 60x = 3x(x^3 + 20); the
+         non-zero kernel x-coords satisfy x^3 = -20. Velu with that kernel
+         gives the 3-isogenous curve (A', B') with B' = 1265 (matches pasta's
+         iso b for both curves).
+      2. On the iso curve, find the 3-torsion kernel whose Velu codomain is
+         isomorphic to the original (a=0), compose with the scaling
+         isomorphism u: (x, y) -> (u^2 x, u^3 y) with u^6 * b2 = 5.
       3. Express the composed map in the pasta iso_map layout:
            x -> (k0 x^3 + k1 x^2 + k2 x + k3) / (x^2 + k4 x + k5)
            y -> y * (k6 x^3 + k7 x^2 + k8 x + k9) / (x^3 + k10 x^2 + k11 x + k12)
     """
-    p = _P
+    if curve is None:
+        curve = PallasPoint
+    p = field.MODULUS
     # Step 1: iso curve.
     roots = _poly_roots([20, 0, 0, 1], p)  # x^3 + 20 = 0
-    assert roots, "x^3 = -20 must have a root in Fp (p = 1 mod 3)"
+    assert roots, "x^3 = -20 must have a root (p = 1 mod 3)"
     # Deterministic: the smallest root reproduces pasta_curves' ISO_A
-    # (0x18354a2e...657a014b), independently validating this choice.
+    # (0x18354a2e...657a014b for Pallas), independently validating this choice.
     x0 = roots[0]
     (iso_a, iso_b), (t0, u0) = _velu_3_isogeny(0, 5, x0, p)
     assert iso_b == 1265, f"unexpected iso b: {iso_b}"
 
     def _fwd(x, y):
-        """Forward Velu map Pallas -> Iso-Pallas with kernel x0."""
+        """Forward Velu map E -> IsoE with kernel x0."""
         d = (x - x0) % p
         X = (x + t0 * pow(d, -1, p) + u0 * pow(d, -2, p)) % p
         Y = y * (1 - t0 * pow(d, -2, p) - 2 * u0 * pow(d, -3, p)) % p
         return X, Y
 
     # A fixed non-kernel test point for the duality check: 9 * generator.
-    gx, gy = (-1) % p, 2
-    tp = PallasPoint(Fp(gx), Fp(gy)) * 9
+    tp = curve.generator() * 9
     tp3 = tp * 3
 
     # Step 2: dual direction, Iso-Pallas -> Pallas.
@@ -375,7 +378,7 @@ def _derive_iso_constants():
             d = (fx - x1) % p
             Xv = (fx + t * pow(d, -1, p) + u * pow(d, -2, p)) % p
             Yv = fy * (1 - t * pow(d, -2, p) - 2 * u * pow(d, -3, p)) % p
-            cand = PallasPoint(Fp(su * su % p * Xv % p), Fp(pow(su, 3, p) * Yv % p))
+            cand = curve(field(su * su % p * Xv % p), field(pow(su, 3, p) * Yv % p))
             if not (cand.is_on_curve() and cand == tp3):
                 continue
             # Composed map: X = su^2 * Xv(x), Y = su^3 * Yv(x, y)
@@ -403,26 +406,66 @@ def _derive_iso_constants():
 
 ISO_A, ISO_B, ISOGENY_CONSTANTS = _derive_iso_constants()
 
-# SWU constant Z for Pallas (pasta_curves: Z = -13).
+# SWU constant Z (pasta_curves: Z = -13 for both Pallas and Vesta).
 SWU_Z = (-13) % _P
 
 
 class IsoPallasPoint(CurvePoint):
-    """The 3-isogenous curve used as the SWU target."""
+    """The 3-isogenous curve used as the SWU target for Pallas."""
 
     __slots__ = ()
     FIELD, SCALAR, A, B = Fp, Fq, ISO_A, ISO_B
 
 
-def map_to_curve_simple_swu(u: Fp) -> IsoPallasPoint:
-    """Simplified SWU map Fp -> Iso-Pallas (constant-free host version).
+class _SWUParams:
+    """Per-curve simplified-SWU + isogeny parameters."""
+
+    def __init__(self, curve, iso_curve, iso_a, iso_b, consts, curve_id):
+        self.curve = curve
+        self.iso_curve = iso_curve
+        self.field = curve.FIELD
+        self.iso_a = iso_a
+        self.iso_b = iso_b
+        self.consts = consts
+        self.z = (-13) % curve.FIELD.MODULUS
+        self.curve_id = curve_id
+
+
+_SWU_REGISTRY: dict[type, _SWUParams] = {}
+
+
+def _swu_params(curve: type[CurvePoint]) -> _SWUParams:
+    params = _SWU_REGISTRY.get(curve)
+    if params is None:
+        if curve is PallasPoint:
+            params = _SWUParams(
+                PallasPoint, IsoPallasPoint, ISO_A, ISO_B, ISOGENY_CONSTANTS, "pallas"
+            )
+        elif curve is VestaPoint:
+            iso_a, iso_b, consts = _derive_iso_constants(Fq, VestaPoint)
+
+            class IsoVestaPoint(CurvePoint):
+                __slots__ = ()
+                FIELD, SCALAR, A, B = Fq, Fp, iso_a, iso_b
+
+            params = _SWUParams(VestaPoint, IsoVestaPoint, iso_a, iso_b, consts, "vesta")
+        else:
+            raise TypeError(curve)
+        _SWU_REGISTRY[curve] = params
+    return params
+
+
+def map_to_curve_simple_swu(u, curve: type[CurvePoint] = PallasPoint):
+    """Simplified SWU map: field element -> point on the iso curve.
 
     Standard simplified SWU for a curve with A,B != 0 (RFC 9380 §6.6.2 /
     pasta_curves `hashtocurve::map_to_curve_simple_swu`), with the pasta sign
     convention sgn0(y) = sgn0(u) where sgn0 = oddness.
     """
-    p = _P
-    A, B, Z = ISO_A, ISO_B, SWU_Z
+    params = _swu_params(curve)
+    F = params.field
+    p = F.MODULUS
+    A, B, Z = params.iso_a, params.iso_b, params.z
     uv = u.v
     z_u2 = Z * uv % p * uv % p
     tv = (z_u2 * z_u2 + z_u2) % p  # Z^2 u^4 + Z u^2
@@ -431,27 +474,29 @@ def map_to_curve_simple_swu(u: Fp) -> IsoPallasPoint:
     else:
         x1 = (-B * pow(A, -1, p)) % p * (1 + pow(tv, -1, p)) % p
     gx1 = (pow(x1, 3, p) + A * x1 + B) % p
-    y1 = Fp(gx1).sqrt()
+    y1 = F(gx1).sqrt()
     if y1 is not None:
         x, y = x1, y1.v
     else:
         x2 = z_u2 * x1 % p
         gx2 = (pow(x2, 3, p) + A * x2 + B) % p
-        y2 = Fp(gx2).sqrt()
+        y2 = F(gx2).sqrt()
         assert y2 is not None, "SWU: one of gx1, gx2 must be square"
         x, y = x2, y2.v
     # sign correction: sgn0(y) == sgn0(u)
     if (y & 1) != (uv & 1):
         y = (-y) % p
-    return IsoPallasPoint(Fp(x), Fp(y))
+    return params.iso_curve(F(x), F(y))
 
 
-def iso_map(pt: IsoPallasPoint) -> PallasPoint:
-    """Apply the 3-isogeny Iso-Pallas -> Pallas (pasta `hashtocurve::iso_map`)."""
+def iso_map(pt, curve: type[CurvePoint] = PallasPoint):
+    """Apply the 3-isogeny iso-curve -> curve (pasta `hashtocurve::iso_map`)."""
+    params = _swu_params(curve)
     if pt.is_identity():
-        return PallasPoint.identity()
-    p = _P
-    k = ISOGENY_CONSTANTS
+        return curve.identity()
+    F = params.field
+    p = F.MODULUS
+    k = params.consts
     x, y = pt.x.v, pt.y.v
     num_x = (((k[0] * x + k[1]) % p * x + k[2]) % p * x + k[3]) % p
     div_x = ((x + k[4]) % p * x + k[5]) % p
@@ -459,10 +504,10 @@ def iso_map(pt: IsoPallasPoint) -> PallasPoint:
     div_y = (((x + k[10]) % p * x + k[11]) % p * x + k[12]) % p
     if div_x == 0 or div_y == 0:
         # the kernel maps to the identity
-        return PallasPoint.identity()
+        return curve.identity()
     X = num_x * pow(div_x, -1, p) % p
     Y = num_y * pow(div_y, -1, p) % p
-    out = PallasPoint(Fp(X), Fp(Y))
+    out = curve(F(X), F(Y))
     assert out.is_on_curve()
     return out
 
@@ -472,7 +517,7 @@ def iso_map(pt: IsoPallasPoint) -> PallasPoint:
 # ---------------------------------------------------------------------------
 
 
-def hash_to_field(curve_id: str, domain_prefix: str, message: bytes) -> tuple[Fp, Fp]:
+def hash_to_field(curve_id: str, domain_prefix: str, message: bytes, field=Fp):
     """expand_message_xmd with BLAKE2b-512 -> two wide-reduced field elements.
 
     Construction mirrors pasta_curves `hashtocurve::hash_to_field`:
@@ -492,12 +537,21 @@ def hash_to_field(curve_id: str, domain_prefix: str, message: bytes) -> tuple[Fp
     b0 = H(bytes(128) + message + bytes([0, 128]) + bytes([0]) + suffix)
     b1 = H(b0 + bytes([1]) + suffix)
     b2 = H(bytes(a ^ b for a, b in zip(b0, b1)) + bytes([2]) + suffix)
-    return Fp.from_uniform_bytes(b1), Fp.from_uniform_bytes(b2)
+    return field.from_uniform_bytes(b1), field.from_uniform_bytes(b2)
+
+
+def hash_to_curve(curve: type[CurvePoint], domain_prefix: str, message: bytes):
+    """Full hash-to-curve onto a Pasta curve (fixed generator derivation)."""
+    params = _swu_params(curve)
+    u0, u1 = hash_to_field(params.curve_id, domain_prefix, message, params.field)
+    q0 = map_to_curve_simple_swu(u0, curve)
+    q1 = map_to_curve_simple_swu(u1, curve)
+    return iso_map(q0 + q1, curve)
 
 
 def pallas_hash_to_curve(domain_prefix: str, message: bytes) -> PallasPoint:
-    """Full hash-to-curve onto Pallas (used for fixed generator derivation)."""
-    u0, u1 = hash_to_field("pallas", domain_prefix, message)
-    q0 = map_to_curve_simple_swu(u0)
-    q1 = map_to_curve_simple_swu(u1)
-    return iso_map(q0 + q1)
+    return hash_to_curve(PallasPoint, domain_prefix, message)
+
+
+def vesta_hash_to_curve(domain_prefix: str, message: bytes) -> VestaPoint:
+    return hash_to_curve(VestaPoint, domain_prefix, message)

@@ -1,0 +1,124 @@
+"""Radix-2 NTT over Fp/Fq as vectorized limb tensors.
+
+The prover's polynomial engine: coefficients <-> evaluations over the 2^k
+multiplicative subgroup (both Pasta fields have 2-adicity 32). Iterative
+decimation-in-time with a host-precomputed bit-reversal permutation and
+per-stage Montgomery twiddle tables; the stage loop is static (k stages),
+each stage a fully-vectorized butterfly over the whole (batch, n) tensor.
+
+Coset evaluation (for the vanishing argument's extended domain) is handled by
+scaling coefficients by powers of the coset generator before the NTT.
+
+Bit-exact vs a host reference NTT (tests/test_ntt.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import limbs as L
+
+
+def _spec(field: str) -> L.FieldSpec:
+    return L.FP if field == "fp" else L.FQ
+
+
+@lru_cache(maxsize=None)
+def domain_params(k: int, field: str = "fp"):
+    """Returns (omega, omega_inv, n_inv, bitrev_idx) for the 2^k domain."""
+    spec = _spec(field)
+    p = spec.modulus
+    n = 1 << k
+    # generator 5 for both Pasta fields
+    omega = pow(5, (p - 1) >> k, p)
+    omega_inv = pow(omega, -1, p)
+    n_inv = pow(n, -1, p)
+    idx = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        idx[i] = int(format(i, f"0{k}b")[::-1], 2)
+    return omega, omega_inv, n_inv, idx
+
+
+@lru_cache(maxsize=None)
+def _twiddle_tables(k: int, field: str, inverse: bool):
+    """Per-stage twiddle tables in Montgomery form: stage s has 2^s twiddles."""
+    spec = _spec(field)
+    p = spec.modulus
+    omega, omega_inv, _, _ = domain_params(k, field)
+    w = omega_inv if inverse else omega
+    tables = []
+    for s in range(1, k + 1):
+        m = 1 << s
+        wm = pow(w, (1 << k) >> s, p)
+        tw = [pow(wm, j, p) for j in range(m // 2)]
+        tables.append(spec.array_to_mont(tw))  # numpy: never cache jnp arrays
+    return tables
+
+
+def _bitrev_jnp(k: int, field: str):
+    return jnp.asarray(domain_params(k, field)[3])
+
+
+def _ntt_core(coeffs, k: int, field: str, inverse: bool):
+    """coeffs: (..., n, 16) Montgomery -> (..., n, 16) Montgomery."""
+    spec = _spec(field)
+    n = 1 << k
+    x = jnp.take(coeffs, _bitrev_jnp(k, field), axis=-2)
+    tables = _twiddle_tables(k, field, inverse)
+    lead = x.shape[:-2]
+    for s in range(1, k + 1):
+        m = 1 << s
+        half = m // 2
+        tw = jnp.asarray(tables[s - 1])  # (half, 16)
+        y = x.reshape(lead + (n // m, m, L.NLIMBS))
+        a = y[..., :half, :]
+        b = L.mont_mul(y[..., half:, :], tw, spec)
+        x = jnp.concatenate([L.add(a, b, spec), L.sub(a, b, spec)], axis=-2)
+        x = x.reshape(lead + (n, L.NLIMBS))
+    if inverse:
+        n_inv_m = jnp.asarray(spec.array_to_mont([domain_params(k, field)[2]])[0])
+        x = L.mont_mul(x, n_inv_m, spec)
+    return x
+
+
+@partial(jax.jit, static_argnames=("k", "field"))
+def ntt(coeffs, k: int, field: str = "fp"):
+    """Forward NTT: coefficients -> evaluations at omega^i (natural order)."""
+    return _ntt_core(coeffs, k, field, False)
+
+
+@partial(jax.jit, static_argnames=("k", "field"))
+def intt(evals, k: int, field: str = "fp"):
+    """Inverse NTT: evaluations -> coefficients."""
+    return _ntt_core(evals, k, field, True)
+
+
+@lru_cache(maxsize=None)
+def _coset_powers(k: int, field: str, g: int, inverse: bool):
+    spec = _spec(field)
+    p = spec.modulus
+    n = 1 << k
+    base = pow(g, -1, p) if inverse else g
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * base % p
+    return spec.array_to_mont(pows)  # numpy: never cache jnp arrays
+
+
+@partial(jax.jit, static_argnames=("k", "field", "g"))
+def coset_ntt(coeffs, k: int, field: str = "fp", g: int = 5):
+    """Evaluations over the coset g*H (H = 2^k subgroup)."""
+    spec = _spec(field)
+    scaled = L.mont_mul(coeffs, jnp.asarray(_coset_powers(k, field, g, False)), spec)
+    return _ntt_core(scaled, k, field, False)
+
+
+@partial(jax.jit, static_argnames=("k", "field", "g"))
+def coset_intt(evals, k: int, field: str = "fp", g: int = 5):
+    spec = _spec(field)
+    coeffs = _ntt_core(evals, k, field, True)
+    return L.mont_mul(coeffs, jnp.asarray(_coset_powers(k, field, g, True)), spec)

@@ -1,0 +1,175 @@
+"""Gate polynomial expressions: AST, degree tracking, host & device evaluation.
+
+An Expression references cells of the circuit's column tables at relative
+rotations. The device evaluator compiles an expression to vectorized
+Montgomery limb ops over whole-domain evaluation tables — this is how the
+quotient polynomial (vanishing argument) and the MockProver gate checks are
+computed without any per-row host work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..crypto.fields import Fp
+from ..ops import limbs as L
+
+FIXED = "fixed"
+ADVICE = "advice"
+INSTANCE = "instance"
+
+
+class Expression:
+    def __add__(self, other):
+        return Sum(self, _wrap(other))
+
+    def __radd__(self, other):
+        return Sum(_wrap(other), self)
+
+    def __sub__(self, other):
+        return Sum(self, Negated(_wrap(other)))
+
+    def __rsub__(self, other):
+        return Sum(_wrap(other), Negated(self))
+
+    def __mul__(self, other):
+        return Product(self, _wrap(other))
+
+    def __rmul__(self, other):
+        return Product(_wrap(other), self)
+
+    def __neg__(self):
+        return Negated(self)
+
+    def degree(self) -> int:
+        raise NotImplementedError
+
+
+def _wrap(v) -> "Expression":
+    if isinstance(v, Expression):
+        return v
+    if isinstance(v, Fp):
+        return Constant(v.v)
+    if isinstance(v, int):
+        return Constant(v % Fp.MODULUS)
+    raise TypeError(type(v))
+
+
+@dataclass(frozen=True)
+class Constant(Expression):
+    value: int
+
+    def degree(self):
+        return 0
+
+
+@dataclass(frozen=True)
+class Cell(Expression):
+    """A column reference at a relative rotation."""
+
+    kind: str  # fixed | advice | instance
+    index: int
+    rotation: int = 0
+
+    def degree(self):
+        return 1
+
+    def at(self, rotation: int) -> "Cell":
+        return Cell(self.kind, self.index, rotation)
+
+
+@dataclass(frozen=True)
+class Sum(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return max(self.a.degree(), self.b.degree())
+
+
+@dataclass(frozen=True)
+class Product(Expression):
+    a: Expression
+    b: Expression
+
+    def degree(self):
+        return self.a.degree() + self.b.degree()
+
+
+@dataclass(frozen=True)
+class Negated(Expression):
+    a: Expression
+
+    def degree(self):
+        return self.a.degree()
+
+
+def rotations_used(expr: Expression, acc=None):
+    """Set of (kind, index, rotation) cells referenced."""
+    if acc is None:
+        acc = set()
+    if isinstance(expr, Cell):
+        acc.add((expr.kind, expr.index, expr.rotation))
+    elif isinstance(expr, Sum) or isinstance(expr, Product):
+        rotations_used(expr.a, acc)
+        rotations_used(expr.b, acc)
+    elif isinstance(expr, Negated):
+        rotations_used(expr.a, acc)
+    return acc
+
+
+# --- host evaluation (row-wise, exact ints) ---------------------------------
+
+
+def eval_host(expr: Expression, row: int, n: int, fixed, advice, instance) -> int:
+    """Evaluate at a single row over int column tables (lists of lists)."""
+    p = Fp.MODULUS
+    if isinstance(expr, Constant):
+        return expr.value
+    if isinstance(expr, Cell):
+        table = {FIXED: fixed, ADVICE: advice, INSTANCE: instance}[expr.kind]
+        return table[expr.index][(row + expr.rotation) % n]
+    if isinstance(expr, Sum):
+        return (eval_host(expr.a, row, n, fixed, advice, instance)
+                + eval_host(expr.b, row, n, fixed, advice, instance)) % p
+    if isinstance(expr, Product):
+        return (eval_host(expr.a, row, n, fixed, advice, instance)
+                * eval_host(expr.b, row, n, fixed, advice, instance)) % p
+    if isinstance(expr, Negated):
+        return (-eval_host(expr.a, row, n, fixed, advice, instance)) % p
+    raise TypeError(type(expr))
+
+
+# --- device evaluation (whole-domain, vectorized) ---------------------------
+
+
+class TableSet:
+    """Device-resident evaluation tables: dict kind -> (num_cols, n, 16) limbs
+    in Montgomery form, plus the rotation scale (1 on the base domain,
+    `ext_factor` on the extended domain where rotation i means i*ext rows)."""
+
+    def __init__(self, fixed, advice, instance, rot_scale: int = 1):
+        self.tables = {FIXED: fixed, ADVICE: advice, INSTANCE: instance}
+        self.rot_scale = rot_scale
+
+
+def eval_device(expr: Expression, ts: TableSet):
+    """Evaluate an expression over the whole domain -> (n, 16) Montgomery."""
+    if isinstance(expr, Constant):
+        n = ts.tables[FIXED].shape[1] if ts.tables[FIXED] is not None else ts.tables[ADVICE].shape[1]
+        limb = L.int_to_limbs(expr.value * L.FP.r % Fp.MODULUS)
+        return jnp.broadcast_to(jnp.asarray(limb), (n, L.NLIMBS))
+    if isinstance(expr, Cell):
+        col = ts.tables[expr.kind][expr.index]
+        if expr.rotation:
+            col = jnp.roll(col, -expr.rotation * ts.rot_scale, axis=0)
+        return col
+    if isinstance(expr, Sum):
+        return L.add(eval_device(expr.a, ts), eval_device(expr.b, ts), L.FP)
+    if isinstance(expr, Product):
+        return L.mont_mul(eval_device(expr.a, ts), eval_device(expr.b, ts), L.FP)
+    if isinstance(expr, Negated):
+        return L.neg(eval_device(expr.a, ts), L.FP)
+    raise TypeError(type(expr))

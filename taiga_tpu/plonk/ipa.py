@@ -1,0 +1,154 @@
+"""Inner-product-argument polynomial commitment: open / verify.
+
+BCMS/halo2-style IPA over Vesta with hiding (cf. halo2's
+`poly::commitment::create_proof`; the reference drives it through
+`plonk::create_proof`, taiga_halo2/src/proof.rs:25-42).
+
+Protocol (coefficient basis; C = <a, G> + [blind] W claimed to open to
+v = a(x) with b = (1, x, ..., x^{n-1})):
+  1. prover samples s(X) random with s(x) = 0, commits S; challenge xi mixes
+     a <- a + xi*s (value at x unchanged) for zero-knowledge;
+  2. challenge z mixes the value claim into the commitment: U' = [z] U,
+     P = C + xi*S + [v] U';
+  3. k rounds: L_j = <a_hi, G_lo> + [lb_j] W + [<a_hi, b_lo>] U'
+               R_j = <a_lo, G_hi> + [rb_j] W + [<a_lo, b_hi>] U'
+     challenge u_j;  a <- a_lo + u_j a_hi;  b <- b_lo + u_j^{-1} b_hi;
+     G <- G_lo + [u_j^{-1}] G_hi  (device batched fold);
+  4. prover reveals a_0 and the synthetic blind f; verifier checks
+     P + sum(u_j L_j + u_j^{-1} R_j) == [a_0] G_0 + [a_0 b_0] U' + [f] W
+     with G_0 = <s, G> (one device MSM) and b_0 = prod(1 + u_j^{-1} x^{n/2^j}).
+
+MSMs and generator folds run on device; scalar folds are host ints.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+import jax.numpy as jnp
+
+from ..crypto.curves import VestaPoint
+from ..crypto.fields import Fp
+from ..ops import ec, limbs as L, msm as msm_mod
+from .srs import Params, srs_device
+from .transcript import ProofReader, ProofWriter
+
+P = Fp.MODULUS
+
+
+def _rand() -> int:
+    return secrets.randbits(300) % P
+
+
+def _eval_poly(coeffs: list[int], x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % P
+    return acc
+
+
+def _msm_device(g_dev, scalars: list[int]) -> VestaPoint:
+    sl = jnp.asarray(msm_mod.scalars_to_limbs([s % P for s in scalars]))
+    out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], sl, field="fq")
+    return ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
+
+
+def ipa_open(params: Params, coeffs: list[int], blind: int, x: int, transcript: ProofWriter):
+    """Open the polynomial (coefficient list) at x. Writes the IPA proof."""
+    n = params.n
+    k = params.k
+    assert len(coeffs) == n
+    v = _eval_poly(coeffs, x)
+
+    # 1. randomizer s(X) = t(X) * (X - x)
+    t = [_rand() for _ in range(n - 1)]
+    s = [0] * n
+    for i, ti in enumerate(t):  # t_i X^i * (X - x)
+        s[i + 1] = (s[i + 1] + ti) % P
+        s[i] = (s[i] - ti * x) % P
+    assert _eval_poly(s, x) == 0
+    s_blind = _rand()
+    c_s = _commit(params, s, s_blind)
+    transcript.write_point(c_s)
+    xi = transcript.challenge(b"ipa-xi").v
+    a = [(c + xi * sv) % P for c, sv in zip(coeffs, s)]
+    blind = (blind + xi * s_blind) % P
+
+    # 2. value mix
+    z = transcript.challenge(b"ipa-z").v
+    u_prime = params.u * z
+
+    # 3. rounds
+    b = [1] * n
+    for i in range(1, n):
+        b[i] = b[i - 1] * x % P
+    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    f = blind
+    for _ in range(k):
+        half = len(a) // 2
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        g_lo = tuple(t_[:half] for t_ in g_dev)
+        g_hi = tuple(t_[half:] for t_ in g_dev)
+        lb, rb = _rand(), _rand()
+        ip_l = sum(ai * bi for ai, bi in zip(a_hi, b_lo)) % P
+        ip_r = sum(ai * bi for ai, bi in zip(a_lo, b_hi)) % P
+        l_pt = _msm_device(g_lo, a_hi) + params.w * lb + u_prime * ip_l
+        r_pt = _msm_device(g_hi, a_lo) + params.w * rb + u_prime * ip_r
+        transcript.write_point(l_pt)
+        transcript.write_point(r_pt)
+        u = transcript.challenge(b"ipa-u").v
+        u_inv = pow(u, -1, P)
+        a = [(lo + u * hi) % P for lo, hi in zip(a_lo, a_hi)]
+        b = [(lo + u_inv * hi) % P for lo, hi in zip(b_lo, b_hi)]
+        # G fold on device: G_lo + [u_inv] G_hi
+        ui_limbs = jnp.asarray(L.int_to_limbs(u_inv))
+        mult = ec.ec_scalar_mul_shared(g_hi, ui_limbs, L.FQ)
+        g_dev = ec.ec_add(g_lo, mult, L.FQ)
+        f = (f + u * lb + u_inv * rb) % P
+
+    assert len(a) == 1
+    transcript.write_scalar(Fp(a[0]))
+    transcript.write_scalar(Fp(f))
+
+
+def _commit(params: Params, coeffs: list[int], blind: int) -> VestaPoint:
+    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    return _msm_device(g_dev, coeffs) + params.w * blind
+
+
+def ipa_verify(
+    params: Params, commitment: VestaPoint, x: int, v: int, transcript: ProofReader
+) -> bool:
+    """Verify an opening of `commitment` to value v at point x."""
+    n, k = params.n, params.k
+    c_s = transcript.read_point()
+    xi = transcript.challenge(b"ipa-xi").v
+    z = transcript.challenge(b"ipa-z").v
+    u_prime = params.u * z
+    p_acc = commitment + c_s * xi + u_prime * v
+    us = []
+    for _ in range(k):
+        l_pt = transcript.read_point()
+        r_pt = transcript.read_point()
+        u = transcript.challenge(b"ipa-u").v
+        us.append(u)
+        p_acc = p_acc + l_pt * u + r_pt * pow(u, -1, P)
+    a0 = transcript.read_scalar().v
+    f = transcript.read_scalar().v
+
+    # b_0 = prod_j (1 + u_j^{-1} x^{n / 2^j});  s_i = prod_j u_j^{-bit_j(i)}
+    b0 = 1
+    for j, u in enumerate(us):
+        e = pow(x, n >> (j + 1), P)
+        b0 = b0 * (1 + pow(u, -1, P) * e) % P
+    s_vec = [1] * n
+    for j, u in enumerate(us):
+        u_inv = pow(u, -1, P)
+        for i in range(n):
+            if (i >> (k - 1 - j)) & 1:
+                s_vec[i] = s_vec[i] * u_inv % P
+    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    g0 = _msm_device(g_dev, s_vec)
+    rhs = g0 * a0 + u_prime * (a0 * b0 % P) + params.w * f
+    return p_acc == rhs

@@ -1,0 +1,175 @@
+"""Proving/verifying key generation.
+
+Runs circuit synthesis in keygen mode to obtain fixed columns and copy
+constraints, builds the permutation argument's sigma columns from the copy
+cycles, and commits fixed + sigma columns (device MSM) into the verifying key.
+
+Permutation tags follow halo2's scheme: cell (column j, row i) has identity
+tag delta^j * omega^i, where delta = g^(2^32) generates distinct cosets of the
+odd-order subgroup; sigma_j(omega^i) is the tag of the *next* cell in the
+copy cycle (identity for uninvolved cells).
+
+Proving keys are cached per circuit digest — the reference re-keygens per
+resource-logic proof (~4 s each, taiga_halo2 constant.rs:6146); we never do
+(SURVEY.md §7 hard part #6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..crypto.curves import VestaPoint
+from ..crypto.fields import Fp
+from ..ops import ec, limbs as L, msm as msm_mod
+from .circuit import BLINDING_ROWS, CircuitBuilder, ConstraintSystem
+from .expression import ADVICE, FIXED, INSTANCE
+from .srs import Params, get_params, srs_device
+
+P = Fp.MODULUS
+DELTA = pow(5, 1 << 32, P)  # generator of the odd-order subgroup
+
+
+def _srs_device(k: int):
+    """SRS generators as device Jacobian limb arrays."""
+    return tuple(map(jnp.asarray, srs_device(k)))
+
+
+def commit_column(k: int, values: list[int], blind: int = 0) -> VestaPoint:
+    """Pedersen/IPA commitment: sum v_i G_i + blind*W, MSM on device."""
+    px, py, pz = _srs_device(k)
+    sl = jnp.asarray(msm_mod.scalars_to_limbs([v % P for v in values]))
+    out = msm_mod.msm(px, py, pz, sl, field="fq")
+    pt = ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
+    if blind:
+        pt = pt + get_params(k).w * blind
+    return pt
+
+
+class _DSU:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        while self.parent.setdefault(x, x) != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+class VerifyingKey:
+    def __init__(self, k, cs, perm_cols, fixed_commitments, sigma_commitments, omega):
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        self.perm_cols = perm_cols  # ordered [(kind, index)]
+        self.fixed_commitments = fixed_commitments
+        self.sigma_commitments = sigma_commitments
+        self.omega = omega
+        self.usable_rows = self.n - BLINDING_ROWS - 1
+        h = hashlib.blake2b(digest_size=32, person=b"TaigaTPU-vk-dgst")
+        h.update(bytes([k]))
+        for c in fixed_commitments + sigma_commitments:
+            h.update(c.to_bytes())
+        for kind, idx in perm_cols:
+            h.update(kind.encode() + idx.to_bytes(2, "little"))
+        self.digest = h.digest()
+
+    def transcript_seed(self) -> bytes:
+        return self.digest
+
+
+class ProvingKey:
+    def __init__(self, vk, fixed_cols, sigma_cols, config):
+        self.vk = vk
+        self.fixed_cols = fixed_cols  # list[list[int]] length n
+        self.sigma_cols = sigma_cols  # list[list[int]] per perm column
+        self.config = config
+        self._device_cache = {}
+
+    def fixed_mont(self) -> np.ndarray:
+        """(num_fixed, n, 16) Montgomery device table (cached)."""
+        if "fixed" not in self._device_cache:
+            self._device_cache["fixed"] = np.stack(
+                [np.asarray(L.FP.array_to_mont(col)) for col in self.fixed_cols]
+            ) if self.fixed_cols else np.zeros((0, self.vk.n, L.NLIMBS), np.uint32)
+        return self._device_cache["fixed"]
+
+    def sigma_mont(self) -> np.ndarray:
+        if "sigma" not in self._device_cache:
+            self._device_cache["sigma"] = np.stack(
+                [np.asarray(L.FP.array_to_mont(col)) for col in self.sigma_cols]
+            ) if self.sigma_cols else np.zeros((0, self.vk.n, L.NLIMBS), np.uint32)
+        return self._device_cache["sigma"]
+
+
+def omega_for(k: int) -> int:
+    return pow(5, (P - 1) >> k, P)
+
+
+def keygen(circuit, k: int) -> ProvingKey:
+    """Generate the proving key for a circuit instance (witness ignored)."""
+    cs, config = type(circuit).build_cs()
+    builder = CircuitBuilder(cs, k, "keygen")
+    circuit.synthesize(builder, config)
+    return keygen_from_builder(cs, config, builder, k)
+
+
+def keygen_from_builder(cs: ConstraintSystem, config, builder: CircuitBuilder, k: int) -> ProvingKey:
+    n = 1 << k
+    omega = omega_for(k)
+
+    # --- permutation assembly ----------------------------------------
+    used_cols = sorted(
+        {(kind, idx) for (a, b) in builder.copies for (kind, idx, _) in (a, b)},
+        key=lambda c: ({ADVICE: 0, INSTANCE: 1, FIXED: 2}[c[0]], c[1]),
+    )
+    col_pos = {c: j for j, c in enumerate(used_cols)}
+
+    dsu = _DSU()
+    for a, b in builder.copies:
+        dsu.union(a, b)
+    classes: dict = {}
+    for a, b in builder.copies:
+        for cell in (a, b):
+            classes.setdefault(dsu.find(cell), set()).add(cell)
+
+    # sigma(cell) = next cell in its class cycle (sorted for determinism)
+    next_in_cycle = {}
+    for members in classes.values():
+        cyc = sorted(members, key=lambda c: (col_pos[(c[0], c[1])], c[2]))
+        for i, cell in enumerate(cyc):
+            next_in_cycle[cell] = cyc[(i + 1) % len(cyc)]
+
+    # tag(col j, row i) = delta^j * omega^i
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % P
+    delta_pows = [pow(DELTA, j, P) for j in range(len(used_cols))]
+
+    sigma_cols = []
+    for kind, idx in used_cols:
+        j = col_pos[(kind, idx)]
+        col = [delta_pows[j] * omega_pows[i] % P for i in range(n)]
+        sigma_cols.append(col)
+    for cell, nxt in next_in_cycle.items():
+        kind, idx, row = cell
+        nk, ni, nrow = nxt
+        sigma_cols[col_pos[(kind, idx)]][row] = (
+            delta_pows[col_pos[(nk, ni)]] * omega_pows[nrow] % P
+        )
+
+    # --- commitments --------------------------------------------------
+    fixed_commitments = [commit_column(k, col) for col in builder.fixed]
+    sigma_commitments = [commit_column(k, col) for col in sigma_cols]
+
+    vk = VerifyingKey(k, cs, used_cols, fixed_commitments, sigma_commitments, omega)
+    return ProvingKey(vk, [list(c) for c in builder.fixed], sigma_cols, config)

@@ -1,0 +1,139 @@
+"""Protocol pieces shared verbatim by prover and verifier.
+
+Builds the full constraint list (user gates + permutation argument) as
+Expression ASTs with the runtime challenges baked in as constants, and
+collects the (column, rotation) opening queries. One construction, two
+evaluations: the prover evaluates over extended-domain tables (vectorized
+device ops), the verifier at the single challenge point — consistency of the
+vanishing identity by construction.
+
+Permutation argument (halo2-style, chunked):
+  z_0(1) = 1;   z_c(1) = z_{c-1}(w^u)   (chunk linking, u = usable rows)
+  (1 - l_last - l_blind) * [ z_c(wX) * prod(v + beta*sigma + gamma)
+                             - z_c(X) * prod(v + beta*delta^j*X + gamma) ] = 0
+  l_last * (z_last^2 - z_last) = 0
+"""
+
+from __future__ import annotations
+
+from ..crypto.fields import Fp
+from .circuit import EXT_FACTOR, PERM_CHUNK, ConstraintSystem
+from .expression import ADVICE, FIXED, INSTANCE, Cell, Constant, Expression, rotations_used
+from .keygen import DELTA
+
+P = Fp.MODULUS
+
+# virtual column kinds
+SIGMA = "sigma"
+Z = "z"
+XID = "xid"
+L0 = "l0"
+LLAST = "llast"
+LBLIND = "lblind"
+QUOTIENT = "quotient"
+
+COMMITTED_KINDS = (ADVICE, FIXED, SIGMA, Z, QUOTIENT)
+NUM_H_PIECES = EXT_FACTOR - 1
+
+
+def num_chunks(perm_cols) -> int:
+    return (len(perm_cols) + PERM_CHUNK - 1) // PERM_CHUNK if perm_cols else 0
+
+
+def build_constraints(
+    cs: ConstraintSystem, perm_cols, beta: int, gamma: int, usable_rows: int
+) -> list[Expression]:
+    """Deterministic ordered list of constraints, challenges baked in."""
+    exprs: list[Expression] = [g.poly for g in cs.gates]
+    if not perm_cols:
+        return exprs
+    chunks = [perm_cols[i : i + PERM_CHUNK] for i in range(0, len(perm_cols), PERM_CHUNK)]
+    l0 = Cell(L0, 0)
+    llast = Cell(LLAST, 0)
+    lblind = Cell(LBLIND, 0)
+    xid = Cell(XID, 0)
+    one = Constant(1)
+    active = one - (llast + lblind)
+    for c, chunk in enumerate(chunks):
+        z = Cell(Z, c)
+        if c == 0:
+            exprs.append(l0 * (one - z))
+        else:
+            exprs.append(l0 * (z - Cell(Z, c - 1, usable_rows)))
+        prod_l: Expression = Cell(Z, c, 1)
+        prod_r: Expression = z
+        for j_local, (kind, idx) in enumerate(chunk):
+            jg = c * PERM_CHUNK + j_local
+            v = Cell(kind, idx, 0)
+            prod_l = prod_l * (v + Constant(beta) * Cell(SIGMA, jg) + Constant(gamma))
+            prod_r = prod_r * (
+                v + Constant(beta * pow(DELTA, jg, P) % P) * xid + Constant(gamma)
+            )
+        exprs.append(active * (prod_l - prod_r))
+    z_last = Cell(Z, len(chunks) - 1)
+    exprs.append(llast * (z_last * z_last - z_last))
+    return exprs
+
+
+def collect_queries(exprs: list[Expression], num_fixed: int) -> list[tuple[str, int, int]]:
+    """Ordered opening queries for committed columns: (kind, index, rotation).
+
+    Includes every (committed column, rotation) referenced by any constraint,
+    plus the quotient pieces at rotation 0. Deterministic ordering.
+    """
+    refs = set()
+    for e in exprs:
+        refs |= rotations_used(e)
+    queries = sorted(
+        (q for q in refs if q[0] in (ADVICE, FIXED, SIGMA, Z)),
+        key=lambda q: ({ADVICE: 0, FIXED: 1, SIGMA: 2, Z: 3}[q[0]], q[1], q[2]),
+    )
+    # all fixed columns are opened even if unreferenced? no — only referenced.
+    queries += [(QUOTIENT, i, 0) for i in range(NUM_H_PIECES)]
+    return queries
+
+
+def transparent_eval(kind: str, index: int, rotation: int, x: int, k: int,
+                     usable_rows: int, omega: int, instance: list[int]) -> int:
+    """Evaluate a transparent (uncommitted) column at x*omega^rotation."""
+    n = 1 << k
+    pt = x * pow(omega, rotation % n, P) % P
+    if kind == XID:
+        return pt
+    zh = (pow(pt, n, P) - 1) % P
+    n_inv = pow(n, -1, P)
+
+    def lagrange(i: int) -> int:
+        wi = pow(omega, i, P)
+        denom = (pt - wi) % P
+        if denom == 0:
+            # pt is on the domain; L_i(pt) = (i == index of pt)
+            return 1 if pt == wi else 0
+        return wi * zh % P * n_inv % P * pow(denom, -1, P) % P
+
+    if kind == L0:
+        return lagrange(0)
+    if kind == LLAST:
+        return lagrange(usable_rows)
+    if kind == LBLIND:
+        return sum(lagrange(i) for i in range(usable_rows + 1, n)) % P
+    if kind == INSTANCE:
+        return sum(v * lagrange(i) for i, v in enumerate(instance) if v) % P
+    raise KeyError((kind, index, rotation))
+
+
+def eval_at_point(expr: Expression, getter) -> int:
+    """Evaluate an expression given a cell-value getter(kind, index, rot)."""
+    from .expression import Negated, Product, Sum
+
+    if isinstance(expr, Constant):
+        return expr.value
+    if isinstance(expr, Cell):
+        return getter(expr.kind, expr.index, expr.rotation)
+    if isinstance(expr, Sum):
+        return (eval_at_point(expr.a, getter) + eval_at_point(expr.b, getter)) % P
+    if isinstance(expr, Product):
+        return eval_at_point(expr.a, getter) * eval_at_point(expr.b, getter) % P
+    if isinstance(expr, Negated):
+        return (-eval_at_point(expr.a, getter)) % P
+    raise TypeError(type(expr))

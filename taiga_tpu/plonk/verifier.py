@@ -1,0 +1,149 @@
+"""Proof verification.
+
+Replays the transcript, recomputes the vanishing identity at the challenge
+point from the claimed openings (+ transparent column evaluations), then
+verifies the aggregated multiopen with a single IPA check (one device MSM).
+Mirrors halo2's `plonk::verify_proof` + `SingleVerifier`
+(taiga_halo2/src/proof.rs:45-54).
+"""
+
+from __future__ import annotations
+
+from ..crypto.curves import VestaPoint
+from ..crypto.fields import Fp
+from .circuit import EXT_FACTOR
+from .expression import ADVICE, FIXED, INSTANCE
+from .ipa import ipa_verify
+from .keygen import VerifyingKey
+from .protocol import (
+    L0,
+    LBLIND,
+    LLAST,
+    NUM_H_PIECES,
+    QUOTIENT,
+    SIGMA,
+    XID,
+    Z,
+    build_constraints,
+    collect_queries,
+    eval_at_point,
+    num_chunks,
+    transparent_eval,
+)
+from .srs import get_params
+from .transcript import ProofReader
+
+P = Fp.MODULUS
+
+
+def verify_proof(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
+    try:
+        return _verify(vk, instance, proof)
+    except (ValueError, AssertionError, KeyError):
+        return False
+
+
+def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
+    k, n, u = vk.k, vk.n, vk.usable_rows
+    cs = vk.cs
+    omega = vk.omega
+    inst = [v.v if isinstance(v, Fp) else int(v) % P for v in instance]
+    params = get_params(k)
+
+    tr = ProofReader(proof, b"taiga-tpu-plonk")
+    tr.absorb_bytes(vk.digest)
+    tr.absorb_bytes(len(inst).to_bytes(4, "little"))
+    for v in inst:
+        tr.absorb_scalar(Fp(v))
+
+    advice_c = [tr.read_point() for _ in range(cs.num_advice)]
+    beta = tr.challenge(b"beta").v
+    gamma = tr.challenge(b"gamma").v
+    z_c = [tr.read_point() for _ in range(num_chunks(vk.perm_cols))]
+    y = tr.challenge(b"y").v
+    h_c = [tr.read_point() for _ in range(NUM_H_PIECES)]
+    x = tr.challenge(b"x").v
+
+    exprs = build_constraints(cs, vk.perm_cols, beta, gamma, u)
+    queries = collect_queries(exprs, cs.num_fixed)
+    evals = {}
+    for q in queries:
+        evals[q] = tr.read_scalar().v
+
+    # --- vanishing identity at x -------------------------------------
+    def getter(kind, idx, rot):
+        if (kind, idx, rot) in evals:
+            return evals[(kind, idx, rot)]
+        return transparent_eval(kind, idx, rot, x, k, u, omega, inst)
+
+    acc = 0
+    for e in exprs:
+        acc = (acc * y + eval_at_point(e, getter)) % P
+    zh = (pow(x, n, P) - 1) % P
+    t_x = 0
+    xe = pow(x, n, P)
+    for i in range(NUM_H_PIECES - 1, -1, -1):
+        t_x = (t_x * xe + evals[(QUOTIENT, i, 0)]) % P
+    if acc != zh * t_x % P:
+        return False
+
+    # --- multiopen ----------------------------------------------------
+    commitments = {}
+    for i, c in enumerate(advice_c):
+        commitments[(ADVICE, i)] = c
+    for i, c in enumerate(vk.fixed_commitments):
+        commitments[(FIXED, i)] = c
+    for i, c in enumerate(vk.sigma_commitments):
+        commitments[(SIGMA, i)] = c
+    for i, c in enumerate(z_c):
+        commitments[(Z, i)] = c
+    for i, c in enumerate(h_c):
+        commitments[(QUOTIENT, i)] = c
+
+    v_ch = tr.challenge(b"mo-v").v
+    groups: dict[int, list] = {}
+    order = []
+    for kind, idx, rot in queries:
+        ptv = x * pow(omega, rot % n, P) % P
+        if ptv not in groups:
+            groups[ptv] = []
+            order.append(ptv)
+        groups[ptv].append((commitments[(kind, idx)], evals[(kind, idx, rot)]))
+
+    agg = []
+    for ptv in order:
+        c_acc = VestaPoint.identity()
+        val = 0
+        vp = 1
+        for c_pt, e in groups[ptv]:
+            c_acc = c_acc + c_pt * vp
+            val = (val + vp * e) % P
+            vp = vp * v_ch % P
+        agg.append({"point": ptv, "commitment": c_acc, "value": val})
+
+    u_ch = tr.challenge(b"mo-u").v
+    c_h = tr.read_point()
+    x3 = tr.challenge(b"mo-x3").v
+    a_vals = [tr.read_scalar().v for _ in agg]
+    w_ch = tr.challenge(b"mo-w").v
+
+    # H(x3) = sum u^j (A_j(x3) - a_j) / (x3 - p_j)
+    h_x3 = 0
+    up = 1
+    for g, av in zip(agg, a_vals):
+        denom = (x3 - g["point"]) % P
+        if denom == 0:
+            return False
+        h_x3 = (h_x3 + up * (av - g["value"]) * pow(denom, -1, P)) % P
+        up = up * u_ch % P
+
+    c_f = c_h
+    v_f = h_x3
+    wp = w_ch
+    for g, av in zip(agg, a_vals):
+        c_f = c_f + g["commitment"] * wp
+        v_f = (v_f + wp * av) % P
+        wp = wp * w_ch % P
+
+    ok = ipa_verify(params, c_f, x3, v_f, tr)
+    return ok and tr.finished()
