@@ -22,8 +22,8 @@ In-circuit relations (see gadget docstrings for layouts):
     witnessed and their Poseidon-to-field preimages constrained; the SWU/
     isogeny map from u-values to the curve point is host-computed and not yet
     constrained in-circuit (tracked: TODO(swu-gadget));
-  * resource-logic commitments. NOTE(v1): publicized as witnessed public
-    inputs; the in-circuit Blake2s recomputation is tracked: TODO(blake2s-gadget).
+  * resource-logic commitments recomputed in-circuit with the Blake2s gadget
+    (circuits/blake2s.py; compliance_circuit.rs:281-324).
 """
 
 from __future__ import annotations
@@ -273,13 +273,19 @@ class ComplianceCircuit(Circuit):
         b.constrain_instance(delta.x, 3)
         b.constrain_instance(delta.y, 4)
 
-        # --- resource-logic commitments ------------------------------
-        # (TODO(blake2s-gadget): recompute in-circuit)
-        for slot, idx in ((0, 5), (1, 6), (2, 7), (3, 8)):
-            if info is None:
-                v = None
-            else:
-                cms = info.rl_commitment_public_inputs()
-                v = cms[slot].v
-            cell = G.witness_cell(b, v)
-            b.constrain_instance(cell, idx)
+        # --- resource-logic commitments (in-circuit Blake2s,
+        #     compliance_circuit.rs:281-324) -------------------------
+        from .blake2s import resource_logic_commitment_gadget
+
+        in_cm_r = G.witness_cell(
+            b, w(info.get_input_resource_logic_com_r().v if info else None)
+        )
+        out_cm_r = G.witness_cell(
+            b, w(info.get_output_resource_logic_com_r().v if info else None)
+        )
+        in_lo, in_hi = resource_logic_commitment_gadget(b, logic_in, in_cm_r, one)
+        out_lo, out_hi = resource_logic_commitment_gadget(b, logic_out, out_cm_r, one)
+        b.constrain_instance(in_lo, 5)
+        b.constrain_instance(in_hi, 6)
+        b.constrain_instance(out_lo, 7)
+        b.constrain_instance(out_hi, 8)

@@ -176,9 +176,11 @@ def mont_mul(a, b, spec: FieldSpec):
     pad_lo = [(0, 0)] * nb + [(0, 1)]  # keep aligned, widen to 17
     a_b = jnp.broadcast_to(a, shape + (NLIMBS,))
     b_b = jnp.broadcast_to(b, shape + (NLIMBS,))
-    # derive zeros from the inputs so loop carries keep the inputs' varying
-    # manual axes under shard_map (fresh jnp.zeros would be unvarying)
-    zero_tail = (a_b[..., :1] ^ a_b[..., :1]) & jnp.uint32(0)
+    # derive zeros from BOTH inputs so loop carries keep the union of the
+    # inputs' varying manual axes under shard_map (fresh jnp.zeros would be
+    # unvarying; deriving from only one input breaks when the other is the
+    # sharded operand)
+    zero_tail = (a_b[..., :1] ^ b_b[..., :1]) & jnp.uint32(0)
 
     def body(i, t):
         ai = jax.lax.dynamic_slice_in_dim(a_b, i, 1, axis=-1)  # (..., 1)
@@ -191,7 +193,7 @@ def mont_mul(a, b, spec: FieldSpec):
         carry = t[..., 0:1] >> W
         return jnp.concatenate([t[..., 1:2] + carry, t[..., 2:], zero_tail], axis=-1)
 
-    t0 = jnp.concatenate([a_b & jnp.uint32(0), zero_tail], axis=-1)
+    t0 = jnp.concatenate([(a_b ^ b_b) & jnp.uint32(0), zero_tail], axis=-1)
     t = jax.lax.fori_loop(0, NLIMBS, body, t0)
     out, carry = _carry_prop_vec(t)
     hi = out[..., NLIMBS] + carry  # must be 0: result < 2p < 2^256

@@ -98,12 +98,18 @@ def _window_reduce(pts_sorted, d, spec, c: int, n: int):
     # lane 0 of each bit row now holds S_t = sum of buckets with bit t set
     s_t = (tx[:, 0], ty[:, 0], tz[:, 0])  # (c, 16) each
 
-    # Horner over bits: acc = sum 2^t S_t
-    acc = (s_t[0][c - 1], s_t[1][c - 1], s_t[2][c - 1])
-    for t in range(c - 2, -1, -1):
+    # Horner over bits: acc = sum 2^t S_t (rolled: one double+add body —
+    # unrolling c copies of the EC formulas made the HLO graph huge and
+    # CPU-backend compiles took >10 min)
+    acc0 = (s_t[0][c - 1], s_t[1][c - 1], s_t[2][c - 1])
+
+    def horner_bit(i, acc):
+        t = c - 2 - i
         acc = ec.ec_double(acc, spec)
-        acc = ec.ec_add(acc, (s_t[0][t], s_t[1][t], s_t[2][t]), spec)
-    return acc
+        st = tuple(jax.lax.dynamic_index_in_dim(v, t, keepdims=False) for v in s_t)
+        return ec.ec_add(acc, st, spec)
+
+    return jax.lax.fori_loop(0, c - 1, horner_bit, acc0)
 
 
 @partial(jax.jit, static_argnames=("field", "c"))
@@ -135,9 +141,7 @@ def msm(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS):
     n_win = digits.shape[0]
 
     def horner_body(carry, w_row):
-        a = carry
-        for _ in range(c):
-            a = ec.ec_double(a, spec)
+        a = jax.lax.fori_loop(0, c, lambda _, p: ec.ec_double(p, spec), carry)
         a = ec.ec_add(a, (w_row[0], w_row[1], w_row[2]), spec)
         return a, None
 

@@ -16,8 +16,8 @@ from taiga_tpu.crypto.fields import Fp
 from taiga_tpu.plonk.circuit import CircuitBuilder
 from taiga_tpu.plonk.mock import MockProver
 
-K = 13
-set_params_size(compliance=K, rl=12)
+K = 15
+set_params_size(compliance=K, rl=12)  # rl tests stay small; compliance needs 2^15 rows (in-circuit Blake2s)
 
 rng = random.Random(0xC14C)
 
