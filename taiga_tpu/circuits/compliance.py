@@ -41,96 +41,15 @@ from ..crypto.curves import PallasPoint
 from ..crypto.fields import Fp, Fq
 from ..plonk.circuit import Circuit, CircuitBuilder, ConstraintSystem
 from . import gadgets as G
+from .ec_gadgets import (
+    PointCells as _PointCells,
+    blind_base as _blind_base,
+    ec_add_gadget,
+    ec_scalar_mul_gadget,
+    witness_point,
+)
 
 P = Fp.MODULUS
-
-
-def _blind_base() -> PallasPoint:
-    """Deterministic accumulator-blinding point for incomplete-add scalar
-    muls (no known discrete-log relation to any protocol point)."""
-    from ..crypto.curves import pallas_hash_to_curve
-
-    return pallas_hash_to_curve("taiga-tpu-ec-blind", b"acc")
-
-
-class _PointCells:
-    def __init__(self, x, y):
-        self.x = x
-        self.y = y
-
-
-def ec_add_gadget(b: CircuitBuilder, p1: _PointCells, p2: _PointCells) -> _PointCells:
-    """Incomplete affine addition (one row). Caller must ensure x1 != x2."""
-    row = b.alloc_rows(1)
-    b.assign_fixed(G.Q_EC_ADD, row, 1)
-    known = p1.x.value is not None and p2.x.value is not None
-    if known:
-        x1, y1, x2, y2 = p1.x.value, p1.y.value, p2.x.value, p2.y.value
-        assert x1 != x2, "incomplete add degeneracy"
-        lam = (y2 - y1) * pow(x2 - x1, -1, P) % P
-        x3 = (lam * lam - x1 - x2) % P
-        y3 = (lam * (x1 - x3) - y1) % P
-    else:
-        lam = x3 = y3 = None
-    cx1 = b.assign_advice(0, row, p1.x.value)
-    cy1 = b.assign_advice(1, row, p1.y.value)
-    cx2 = b.assign_advice(2, row, p2.x.value)
-    cy2 = b.assign_advice(3, row, p2.y.value)
-    b.assign_advice(4, row, lam)
-    cx3 = b.assign_advice(5, row, x3)
-    cy3 = b.assign_advice(6, row, y3)
-    b.copy(cx1, p1.x)
-    b.copy(cy1, p1.y)
-    b.copy(cx2, p2.x)
-    b.copy(cy2, p2.y)
-    return _PointCells(cx3, cy3)
-
-
-def ec_dbl_gadget(b: CircuitBuilder, p: _PointCells) -> _PointCells:
-    row = b.alloc_rows(1)
-    b.assign_fixed(G.Q_EC_DBL, row, 1)
-    if p.x.value is not None:
-        x1, y1 = p.x.value, p.y.value
-        lam = 3 * x1 * x1 % P * pow(2 * y1 % P, -1, P) % P
-        x3 = (lam * lam - 2 * x1) % P
-        y3 = (lam * (x1 - x3) - y1) % P
-    else:
-        lam = x3 = y3 = None
-    cx1 = b.assign_advice(0, row, p.x.value)
-    cy1 = b.assign_advice(1, row, p.y.value)
-    b.assign_advice(2, row, lam)
-    cx3 = b.assign_advice(3, row, x3)
-    cy3 = b.assign_advice(4, row, y3)
-    b.copy(cx1, p.x)
-    b.copy(cy1, p.y)
-    return _PointCells(cx3, cy3)
-
-
-def ec_select_gadget(b: CircuitBuilder, flag, p: _PointCells, q: _PointCells) -> _PointCells:
-    return _PointCells(
-        G.select_cell(b, flag, p.x, q.x), G.select_cell(b, flag, p.y, q.y)
-    )
-
-
-def ec_scalar_mul_gadget(
-    b: CircuitBuilder, point: _PointCells, scalar_bits, blind: PallasPoint
-) -> _PointCells:
-    """[s]P for s given as little-endian boolean cells. Accumulator starts at
-    the blinding base T and ends subtracting [2^len]T, so every intermediate
-    add is between (w.h.p.) unrelated points — incomplete adds are safe."""
-    t = blind
-    acc = _PointCells(G.constant_cell(b, t.x.v), G.constant_cell(b, t.y.v))
-    # MSB-first double-and-add: acc = 2*acc + bit*P
-    for bit in reversed(scalar_bits):
-        acc = ec_dbl_gadget(b, acc)
-        added = ec_add_gadget(b, acc, point)
-        acc = ec_select_gadget(b, bit, added, acc)
-    # subtract [2^len] T: acc + (-[2^len] T)
-    corr = -(t * (1 << len(scalar_bits)))
-    corr_cells = _PointCells(
-        G.constant_cell(b, corr.x.v), G.constant_cell(b, corr.y.v)
-    )
-    return ec_add_gadget(b, acc, corr_cells)
 
 
 class ComplianceCircuit(Circuit):
@@ -242,14 +161,8 @@ class ComplianceCircuit(Circuit):
         # kind points witnessed (TODO(swu-gadget): constrain u -> point map)
         kind_in_pt = None if info is None else inp.get_kind()
         kind_out_pt = None if info is None else out.get_kind()
-        kin = _PointCells(
-            G.witness_cell(b, w(kind_in_pt.x.v if info else None)),
-            G.witness_cell(b, w(kind_in_pt.y.v if info else None)),
-        )
-        kout = _PointCells(
-            G.witness_cell(b, w(kind_out_pt.x.v if info else None)),
-            G.witness_cell(b, w(kind_out_pt.y.v if info else None)),
-        )
+        kin = witness_point(b, kind_in_pt)
+        kout = witness_point(b, kind_out_pt)
         q_in_bits = G.decompose_bits(b, quantity_in, 64)
         q_out_bits = G.decompose_bits(b, quantity_out, 64)
         rcv_val = None if info is None else info.get_rcv().v

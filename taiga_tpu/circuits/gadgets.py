@@ -311,6 +311,14 @@ def mul_const(b: CircuitBuilder, x, c: int):
     return cc
 
 
+def add_const(b: CircuitBuilder, x, c: int):
+    """x + c (compile-time constant c) in one vanilla row."""
+    val = None if x.value is None else (x.value + c) % P
+    ca, _, cc = assign_vanilla(b, ql=1, qc=c % P, qo=P - 1, va=x.value, vc=val)
+    b.copy(ca, x)
+    return cc
+
+
 def add_scaled(b: CircuitBuilder, x, y, c: int):
     """x + c*y."""
     val = None if x.value is None or y.value is None else (x.value + c * y.value) % P
@@ -323,3 +331,29 @@ def add_scaled(b: CircuitBuilder, x, y, c: int):
 def range_check(b: CircuitBuilder, cell, num_bits: int):
     """cell < 2^num_bits (reference integrity.rs:632-651 quantity check)."""
     decompose_bits(b, cell, num_bits)
+
+
+def conditional_equal(b: CircuitBuilder, sel, left, right):
+    """sel * (left - right) == 0 (reference gadgets/conditional_equal.rs).
+    sel need not be boolean (the partial-fulfillment check gates on a
+    difference)."""
+    d = sub_cells(b, left, right)
+    z = mul_cells(b, sel, d)
+    assert_equal_constant(b, z, 0)
+
+
+def extended_or_relation(b: CircuitBuilder, sel, a, bb, c):
+    """sel => (c == a or c == b) over pairs (reference
+    gadgets/extended_or_relation.rs:34-63): four degree-3 products."""
+    a1, a2 = a
+    b1, b2 = bb
+    c1, c2 = c
+    for l, r in (
+        (sub_cells(b, c1, a1), sub_cells(b, c1, b1)),
+        (sub_cells(b, c2, a2), sub_cells(b, c2, b2)),
+        (sub_cells(b, c1, a1), sub_cells(b, c2, b2)),
+        (sub_cells(b, c1, b1), sub_cells(b, c2, a2)),
+    ):
+        prod = mul_cells(b, l, r)
+        gated = mul_cells(b, sel, prod)
+        assert_equal_constant(b, gated, 0)
