@@ -23,6 +23,15 @@ class ResourceLogics:
         dyn_info = [prove_resource_logic(rl) for rl in self.dynamic_resource_logics]
         return ResourceLogicVerifyingInfoSet(app_info, dyn_info)
 
+    def to_application_bytecode(self):
+        """-> ApplicationByteCode (for the transparent execution path)."""
+        from ..circuits.bytecode import ApplicationByteCode
+
+        return ApplicationByteCode(
+            self.application_resource_logic.to_bytecode(),
+            [rl.to_bytecode() for rl in self.dynamic_resource_logics],
+        )
+
     @classmethod
     def create_padding_resource_resource_logics(cls, resource, merkle_path):
         from ..apps.trivial import TrivialResourceLogicCircuit

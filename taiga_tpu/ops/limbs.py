@@ -94,63 +94,80 @@ FQ = FieldSpec(Fq.MODULUS)
 def _carry_prop_vec(t):
     """Ripple-carry a loose limb tensor (..., K) into canonical 16-bit limbs.
 
-    Sequential over K (carries are inherently serial), but each step is a
-    whole-batch vector op. Returns (canonical (..., K), final carry (...,))."""
-    k = t.shape[-1]
-    out = []
-    carry = jnp.zeros(t.shape[:-1], DTYPE)
-    for i in range(k):
-        v = t[..., i] + carry
-        out.append(v & MASK)
-        carry = v >> W
-    return jnp.stack(out, axis=-1), carry
+    lax.scan over the limb axis (carries are inherently serial) — the rolled
+    loop keeps the emitted HLO tiny, which matters because every field op in
+    a gate-evaluation graph instantiates this. Returns (canonical (..., K),
+    final carry (...,))."""
+    tt = jnp.moveaxis(t, -1, 0)
+
+    def step(carry, v):
+        s = v + carry
+        return s >> W, s & MASK
+
+    carry, out = jax.lax.scan(step, jnp.zeros(t.shape[:-1], DTYPE), tt)
+    return jnp.moveaxis(out, 0, -1), carry
 
 
-def _ge_n(a, n_limbs):
-    """a >= n comparing canonical limb tensors (..., 16) -> bool (...,)."""
+def _sub_n_borrow(a, n_limbs):
+    """(a - n, borrow): canonical (..., K) minus the K-limb constant n."""
     n = jnp.asarray(n_limbs, DTYPE)
-    gt = a > n
-    lt = a < n
-    # lexicographic from the top: a >= n unless the most significant
-    # differing limb has a < n
-    result = jnp.ones(a.shape[:-1], dtype=jnp.bool_)
-    decided = jnp.zeros(a.shape[:-1], dtype=jnp.bool_)
-    for i in reversed(range(NLIMBS)):
-        result = jnp.where(~decided & lt[..., i], False, result)
-        decided = decided | gt[..., i] | lt[..., i]
-    return result
+    k = a.shape[-1]
+    if n.shape[0] < k:
+        n = jnp.pad(n, (0, k - n.shape[0]))
+    tt = jnp.moveaxis(a, -1, 0)
+
+    def step(borrow, xs):
+        v, ni = xs
+        d = v - ni - borrow
+        return (d >> 31) & 1, d & MASK
+
+    borrow, out = jax.lax.scan(
+        step, jnp.zeros(a.shape[:-1], DTYPE), (tt, n)
+    )
+    return jnp.moveaxis(out, 0, -1), borrow
 
 
 def _sub_n_vec(a, n_limbs):
-    """a - n over canonical limb tensors (valid where a >= n)."""
-    n = jnp.asarray(n_limbs, DTYPE)
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], DTYPE)
-    for i in range(NLIMBS):
-        v = a[..., i] - n[i] - borrow
-        out.append(v & MASK)
-        borrow = (v >> 31) & 1
-    return jnp.stack(out, axis=-1)
+    return _sub_n_borrow(a, n_limbs)[0]
+
+
+def _ge_n(a, n_limbs):
+    """a >= n for canonical limb tensors: no borrow out of (a - n)."""
+    return _sub_n_borrow(a, n_limbs)[1] == 0
+
+
+def _reduce_once(s, carry, spec: FieldSpec):
+    """Conditional subtract: s (canonical limbs) + carry*2^256 reduced mod p
+    assuming s + carry*2^256 < 2p."""
+    d, borrow = _sub_n_borrow(s, spec.n_limbs)
+    ge = (borrow == 0) | (carry > 0)
+    return jnp.where(ge[..., None], d, s)
 
 
 def add(a, b, spec: FieldSpec):
     """(a + b) mod p, canonical limbs in/out."""
     s, carry = _carry_prop_vec(a + b)
-    ge = _ge_n(s, spec.n_limbs) | (carry > 0)
-    return jnp.where(ge[..., None], _sub_n_vec(s, spec.n_limbs), s)
+    return _reduce_once(s, carry, spec)
 
 
 def sub(a, b, spec: FieldSpec):
     """(a - b) mod p."""
-    out = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), DTYPE)
-    for i in range(NLIMBS):
-        v = a[..., i] - b[..., i] - borrow
-        out.append(v & MASK)
-        borrow = (v >> 31) & 1
-    diff = jnp.stack(out, axis=-1)
+    bb = jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape))
+    aa = jnp.broadcast_to(a, bb.shape)
+    ta = jnp.moveaxis(aa, -1, 0)
+    tb = jnp.moveaxis(bb, -1, 0)
+
+    def step(borrow, xs):
+        va, vb = xs
+        d = va - vb - borrow
+        return (d >> 31) & 1, d & MASK
+
+    borrow, out = jax.lax.scan(step, jnp.zeros(aa.shape[:-1], DTYPE), (ta, tb))
+    diff = jnp.moveaxis(out, 0, -1)
     n = jnp.asarray(spec.n_limbs, DTYPE)
-    fixed, _ = _carry_prop_vec(diff + jnp.where(borrow[..., None] > 0, n, jnp.zeros_like(n)))
+    fixed, _ = _carry_prop_vec(
+        diff + jnp.where(borrow[..., None] > 0, n, jnp.zeros_like(n))
+    )
     return fixed
 
 
@@ -198,8 +215,7 @@ def mont_mul(a, b, spec: FieldSpec):
     out, carry = _carry_prop_vec(t)
     hi = out[..., NLIMBS] + carry  # must be 0: result < 2p < 2^256
     out = out[..., :NLIMBS]
-    ge = _ge_n(out, spec.n_limbs) | (hi > 0)
-    return jnp.where(ge[..., None], _sub_n_vec(out, spec.n_limbs), out)
+    return _reduce_once(out, hi, spec)
 
 
 def mont_square(a, spec: FieldSpec):

@@ -81,6 +81,18 @@ class Cell(Expression):
 
 
 @dataclass(frozen=True)
+class ChallengeVar(Expression):
+    """A symbolic transcript challenge (beta/gamma/...): a runtime scalar fed
+    at evaluation time, so compiled evaluators are reusable across proofs.
+    Degree 0 in X."""
+
+    name: str
+
+    def degree(self):
+        return 0
+
+
+@dataclass(frozen=True)
 class Sum(Expression):
     a: Expression
     b: Expression
@@ -128,6 +140,8 @@ def eval_host(expr: Expression, row: int, n: int, fixed, advice, instance) -> in
     p = Fp.MODULUS
     if isinstance(expr, Constant):
         return expr.value
+    if isinstance(expr, ChallengeVar):
+        raise TypeError("eval_host does not support challenges")
     if isinstance(expr, Cell):
         table = {FIXED: fixed, ADVICE: advice, INSTANCE: instance}[expr.kind]
         return table[expr.index][(row + expr.rotation) % n]
@@ -155,21 +169,25 @@ class TableSet:
         self.rot_scale = rot_scale
 
 
-def eval_device(expr: Expression, ts: TableSet):
-    """Evaluate an expression over the whole domain -> (n, 16) Montgomery."""
+def eval_device(expr: Expression, ts: TableSet, challenges=None):
+    """Evaluate an expression over the whole domain -> (n, 16) Montgomery.
+    challenges: dict name -> (16,) Montgomery limbs (device)."""
     if isinstance(expr, Constant):
         n = ts.tables[FIXED].shape[1] if ts.tables[FIXED] is not None else ts.tables[ADVICE].shape[1]
         limb = L.int_to_limbs(expr.value * L.FP.r % Fp.MODULUS)
         return jnp.broadcast_to(jnp.asarray(limb), (n, L.NLIMBS))
+    if isinstance(expr, ChallengeVar):
+        n = ts.tables[FIXED].shape[1] if ts.tables[FIXED] is not None else ts.tables[ADVICE].shape[1]
+        return jnp.broadcast_to(challenges[expr.name], (n, L.NLIMBS))
     if isinstance(expr, Cell):
         col = ts.tables[expr.kind][expr.index]
         if expr.rotation:
             col = jnp.roll(col, -expr.rotation * ts.rot_scale, axis=0)
         return col
     if isinstance(expr, Sum):
-        return L.add(eval_device(expr.a, ts), eval_device(expr.b, ts), L.FP)
+        return L.add(eval_device(expr.a, ts, challenges), eval_device(expr.b, ts, challenges), L.FP)
     if isinstance(expr, Product):
-        return L.mont_mul(eval_device(expr.a, ts), eval_device(expr.b, ts), L.FP)
+        return L.mont_mul(eval_device(expr.a, ts, challenges), eval_device(expr.b, ts, challenges), L.FP)
     if isinstance(expr, Negated):
-        return L.neg(eval_device(expr.a, ts), L.FP)
+        return L.neg(eval_device(expr.a, ts, challenges), L.FP)
     raise TypeError(type(expr))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import secrets
 
+import jax
 import jax.numpy as jnp
 
 from ..crypto.curves import VestaPoint
@@ -51,6 +52,125 @@ def _msm_device(g_dev, scalars: list[int]) -> VestaPoint:
     sl = jnp.asarray(msm_mod.scalars_to_limbs([s % P for s in scalars]))
     out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], sl, field="fq")
     return ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
+
+
+def ipa_open_device(params: Params, coeffs_mont, blind: int, x: int,
+                    transcript: ProofWriter):
+    """Device-resident IPA open: coeffs as (n, 16) Montgomery limbs; the
+    a/b/G folds, inner products, and L/R MSMs all run on device — the
+    transcript and the challenge scalars stay host-side."""
+    import numpy as np
+
+    from ..ops import poly
+
+    n, k = params.n, params.k
+    spec = L.FP
+
+    def mont(v: int):
+        return jnp.asarray(L.int_to_limbs(v * spec.r % P))
+
+    # 1. randomizer s(X) = t(X) * (X - x), s(x) = 0
+    t = [_rand() for _ in range(n - 1)]
+    s = [0] * n
+    for i, ti in enumerate(t):
+        s[i + 1] = (s[i + 1] + ti) % P
+        s[i] = (s[i] - ti * x) % P
+    s_blind = _rand()
+    s_mont = jnp.asarray(L.FP.array_to_mont(s))
+    c_s = _commit_mont(params, s_mont, s_blind)
+    transcript.write_point(c_s)
+    xi = transcript.challenge(b"ipa-xi").v
+    a = L.add(coeffs_mont, L.mont_mul(s_mont, mont(xi), spec), spec)
+    blind = (blind + xi * s_blind) % P
+
+    # 2. value mix
+    z = transcript.challenge(b"ipa-z").v
+    u_prime = params.u * z
+
+    # 3. rounds. To bound the number of compiled shapes, rounds below the
+    # bucket size run padded to the bucket (zero scalars / identity points
+    # contribute nothing): only ~3 MSM/fold shapes compile per k.
+    bucket = max(n // 4, 16)
+    b = poly.powers(mont(x), n, "fp")
+    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    f = blind
+    for _ in range(k):
+        half = a.shape[0] // 2
+        a_lo, a_hi = a[:half], a[half:]
+        b_lo, b_hi = b[:half], b[half:]
+        g_lo = tuple(t_[:half] for t_ in g_dev)
+        g_hi = tuple(t_[half:] for t_ in g_dev)
+        lb, rb = _rand(), _rand()
+        ips = np.asarray(jax.device_get(_ipa_dots(a_lo, a_hi, b_lo, b_hi)))
+        ip_l = L.limbs_to_int(ips[0])
+        ip_r = L.limbs_to_int(ips[1])
+        pad = max(0, bucket - half)
+        l_pt = _msm_mont(_pad_pts(g_lo, pad), _pad_rows(a_hi, pad)) \
+            + params.w * lb + u_prime * ip_l
+        r_pt = _msm_mont(_pad_pts(g_hi, pad), _pad_rows(a_lo, pad)) \
+            + params.w * rb + u_prime * ip_r
+        transcript.write_point(l_pt)
+        transcript.write_point(r_pt)
+        u = transcript.challenge(b"ipa-u").v
+        u_inv = pow(u, -1, P)
+        a, b = _ipa_fold_ab(a_lo, a_hi, b_lo, b_hi, mont(u), mont(u_inv))
+        gx, gy, gz = _ipa_fold_g(
+            _pad_pts(g_lo, pad), _pad_pts(g_hi, pad),
+            jnp.asarray(L.int_to_limbs(u_inv)),
+        )
+        g_dev = (gx[:half], gy[:half], gz[:half])
+        f = (f + u * lb + u_inv * rb) % P
+
+    a0 = L.FP.from_mont_host(np.asarray(jax.device_get(a[0])))
+    transcript.write_scalar(Fp(a0))
+    transcript.write_scalar(Fp(f))
+
+
+def _pad_rows(arr, pad: int):
+    return jnp.pad(arr, [(0, pad), (0, 0)]) if pad else arr
+
+
+def _pad_pts(pts, pad: int):
+    # Z = 0 encodes the identity, so zero-padding adds identity points
+    return tuple(jnp.pad(t, [(0, pad), (0, 0)]) for t in pts) if pad else pts
+
+
+@jax.jit
+def _ipa_dots(a_lo, a_hi, b_lo, b_hi):
+    from ..ops import poly
+
+    ip_l = poly.mont_dot(a_hi, b_lo, "fp")
+    ip_r = poly.mont_dot(a_lo, b_hi, "fp")
+    return jnp.stack([L.from_mont(ip_l, L.FP), L.from_mont(ip_r, L.FP)])
+
+
+@jax.jit
+def _ipa_fold_ab(a_lo, a_hi, b_lo, b_hi, u_m, uinv_m):
+    a = L.add(a_lo, L.mont_mul(a_hi, u_m, L.FP), L.FP)
+    b = L.add(b_lo, L.mont_mul(b_hi, uinv_m, L.FP), L.FP)
+    return a, b
+
+
+@jax.jit
+def _ipa_fold_g(g_lo, g_hi, uinv_limbs):
+    mult = ec.ec_scalar_mul_shared(g_hi, uinv_limbs, L.FQ)
+    return ec.ec_add(g_lo, mult, L.FQ)
+
+
+@jax.jit
+def _from_mont(v):
+    return L.from_mont(v, L.FP)
+
+
+def _msm_mont(g_parts, scalars_mont) -> VestaPoint:
+    plain = _from_mont(scalars_mont)
+    out = msm_mod.msm(g_parts[0], g_parts[1], g_parts[2], plain, field="fq")
+    return ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
+
+
+def _commit_mont(params: Params, coeffs_mont, blind: int) -> VestaPoint:
+    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    return _msm_mont(g_dev, coeffs_mont) + params.w * blind
 
 
 def ipa_open(params: Params, coeffs: list[int], blind: int, x: int, transcript: ProofWriter):

@@ -39,10 +39,16 @@ def _srs_device(k: int):
 
 
 def commit_column(k: int, values: list[int], blind: int = 0) -> VestaPoint:
-    """Pedersen/IPA commitment: sum v_i G_i + blind*W, MSM on device."""
+    """IPA commitment of a Lagrange-basis column: iNTT to coefficients, then
+    sum c_i G_i + blind*W (device MSM). Must match the prover's column
+    commitments, which are over the COEFFICIENT basis (prover.py
+    commit_coeff_rows) — the multiopen opens coefficient polynomials."""
+    from ..ops import ntt
+
     px, py, pz = _srs_device(k)
-    sl = jnp.asarray(msm_mod.scalars_to_limbs([v % P for v in values]))
-    out = msm_mod.msm(px, py, pz, sl, field="fq")
+    vals_mont = jnp.asarray(L.FP.array_to_mont([v % P for v in values]))
+    coeffs_plain = L.from_mont(ntt.intt(vals_mont, k, "fp"), L.FP)
+    out = msm_mod.msm(px, py, pz, coeffs_plain, field="fq")
     pt = ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
     if blind:
         pt = pt + get_params(k).w * blind

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from ..crypto.fields import Fp
 from .circuit import EXT_FACTOR, PERM_CHUNK, ConstraintSystem
-from .expression import ADVICE, FIXED, INSTANCE, Cell, Constant, Expression, rotations_used
+from .expression import ADVICE, FIXED, INSTANCE, Cell, ChallengeVar, Constant, Expression, rotations_used
 from .keygen import DELTA
 
 P = Fp.MODULUS
@@ -41,12 +41,17 @@ def num_chunks(perm_cols) -> int:
 
 
 def build_constraints(
-    cs: ConstraintSystem, perm_cols, beta: int, gamma: int, usable_rows: int
+    cs: ConstraintSystem, perm_cols, usable_rows: int
 ) -> list[Expression]:
-    """Deterministic ordered list of constraints, challenges baked in."""
+    """Deterministic ordered list of constraints. The beta/gamma transcript
+    challenges are SYMBOLIC (ChallengeVar) so compiled evaluators are
+    reusable across proofs (cache key = the constraint system, not the
+    transcript)."""
     exprs: list[Expression] = [g.poly for g in cs.gates]
     if not perm_cols:
         return exprs
+    beta = ChallengeVar("beta")
+    gamma = ChallengeVar("gamma")
     chunks = [perm_cols[i : i + PERM_CHUNK] for i in range(0, len(perm_cols), PERM_CHUNK)]
     l0 = Cell(L0, 0)
     llast = Cell(LLAST, 0)
@@ -65,9 +70,9 @@ def build_constraints(
         for j_local, (kind, idx) in enumerate(chunk):
             jg = c * PERM_CHUNK + j_local
             v = Cell(kind, idx, 0)
-            prod_l = prod_l * (v + Constant(beta) * Cell(SIGMA, jg) + Constant(gamma))
+            prod_l = prod_l * (v + beta * Cell(SIGMA, jg) + gamma)
             prod_r = prod_r * (
-                v + Constant(beta * pow(DELTA, jg, P) % P) * xid + Constant(gamma)
+                v + beta * Constant(pow(DELTA, jg, P)) * xid + gamma
             )
         exprs.append(active * (prod_l - prod_r))
     z_last = Cell(Z, len(chunks) - 1)
@@ -122,18 +127,23 @@ def transparent_eval(kind: str, index: int, rotation: int, x: int, k: int,
     raise KeyError((kind, index, rotation))
 
 
-def eval_at_point(expr: Expression, getter) -> int:
-    """Evaluate an expression given a cell-value getter(kind, index, rot)."""
+def eval_at_point(expr: Expression, getter, challenges=None) -> int:
+    """Evaluate an expression given a cell-value getter(kind, index, rot) and
+    a challenges dict name -> int."""
     from .expression import Negated, Product, Sum
 
     if isinstance(expr, Constant):
         return expr.value
+    if isinstance(expr, ChallengeVar):
+        return challenges[expr.name]
     if isinstance(expr, Cell):
         return getter(expr.kind, expr.index, expr.rotation)
     if isinstance(expr, Sum):
-        return (eval_at_point(expr.a, getter) + eval_at_point(expr.b, getter)) % P
+        return (eval_at_point(expr.a, getter, challenges)
+                + eval_at_point(expr.b, getter, challenges)) % P
     if isinstance(expr, Product):
-        return eval_at_point(expr.a, getter) * eval_at_point(expr.b, getter) % P
+        return (eval_at_point(expr.a, getter, challenges)
+                * eval_at_point(expr.b, getter, challenges)) % P
     if isinstance(expr, Negated):
-        return (-eval_at_point(expr.a, getter)) % P
+        return (-eval_at_point(expr.a, getter, challenges)) % P
     raise TypeError(type(expr))

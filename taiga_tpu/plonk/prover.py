@@ -1,15 +1,22 @@
-"""Proof creation pipeline.
+"""Proof creation pipeline (device-resident).
 
 Mirrors the structure of halo2's `plonk::create_proof` (the hot loop behind
-taiga_halo2/src/proof.rs:25-42) with device math:
+taiga_halo2/src/proof.rs:25-42) with the polynomial math on device:
 
   synthesize witness (host ints)                      -> advice columns
-  commit advice (device iNTT + Pippenger MSM)         -> transcript
-  beta, gamma -> permutation grand products (host, batch-inverted), commit
-  y -> quotient: evaluate all constraints over the 8n coset domain
-       (vectorized expression evaluator), divide by Z_H, split, commit
-  x -> open every queried (column, rotation) at x*omega^rot
-  multiopen: aggregate per point, quotient-divide, one IPA open.
+  batched iNTT + per-column Pippenger MSM             -> advice commitments
+  beta, gamma -> permutation grand products (device cumprod + batched
+      Fermat inversion), commit
+  y -> quotient: all constraints evaluated over the 8n coset domain in ONE
+      compiled program per proving key (challenges are symbolic inputs, so
+      the compilation is reused across proofs), divide by Z_H, split, commit
+  x -> batched polynomial evaluation at the query points (device)
+  multiopen: per-point aggregation, synthetic division via suffix sums,
+      and the final IPA open — all device linear algebra; only transcript
+      hashing and scalar bookkeeping stay on host.
+
+Per-proving-key device state (fixed/sigma coefficient + extended tables,
+transparent domain tables) is computed once and cached on the ProvingKey.
 """
 
 from __future__ import annotations
@@ -17,18 +24,18 @@ from __future__ import annotations
 import secrets
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..crypto.curves import VestaPoint
 from ..crypto.fields import Fp
-from ..ops import limbs as L, ntt
-from .circuit import BLINDING_ROWS, CircuitBuilder, EXT_FACTOR
+from ..ops import ec, limbs as L, msm as msm_mod, ntt, poly
+from .circuit import BLINDING_ROWS, EXT_FACTOR, PERM_CHUNK, CircuitBuilder
 from .expression import ADVICE, FIXED, INSTANCE, TableSet, eval_device
-from .ipa import _commit, _eval_poly, ipa_open
-from .keygen import ProvingKey, commit_column, omega_for
+from .ipa import ipa_open_device
+from .keygen import DELTA, ProvingKey, omega_for
 from .protocol import (
-    COMMITTED_KINDS,
     L0,
     LBLIND,
     LLAST,
@@ -39,9 +46,8 @@ from .protocol import (
     Z,
     build_constraints,
     collect_queries,
-    num_chunks,
 )
-from .srs import get_params
+from .srs import get_params, srs_device
 from .transcript import ProofWriter
 
 P = Fp.MODULUS
@@ -51,27 +57,28 @@ def _rand() -> int:
     return secrets.randbits(300) % P
 
 
-# ---------------------------------------------------------------------------
-# cached per-k transparent tables
-# ---------------------------------------------------------------------------
+def _mont_scalar(v: int):
+    return jnp.asarray(L.int_to_limbs(v * L.FP.r % P))
+
+
+def _plain_scalar(v: int):
+    return jnp.asarray(L.int_to_limbs(v % P))
 
 
 @lru_cache(maxsize=None)
 def _ext_domain_tables(k: int):
-    """Returns numpy Montgomery ext-coset tables for xid/l0/llast/lblind and
-    the inverse of Z_H on the coset, all shape (8n, 16)."""
+    """Numpy Montgomery ext-coset tables xid/l0/llast/lblind and Z_H^-1 on the
+    coset, all shape (8n, 16)."""
     n = 1 << k
     ke = k + 3
     usable = n - BLINDING_ROWS - 1
     g = 5
     p = P
     omega_ext = pow(5, (p - 1) >> ke, p)
-    # xid: the coset points themselves
     pts = [1] * (n * EXT_FACTOR)
     for i in range(1, n * EXT_FACTOR):
         pts[i] = pts[i - 1] * omega_ext % p
     xid = [g * v % p for v in pts]
-    # Z_H^{-1} on coset: (g^n * omega_8^i - 1)^{-1}, period 8
     gn = pow(g, n, p)
     w8 = pow(omega_ext, n, p)
     zh8 = [(gn * pow(w8, i, p) - 1) % p for i in range(EXT_FACTOR)]
@@ -82,7 +89,12 @@ def _ext_domain_tables(k: int):
         base = [0] * n
         for r in rows:
             base[r] = 1
-        return _coeffs_to_ext_np(k, _values_to_coeffs_np(k, base))
+        coeffs = np.asarray(
+            jax.device_get(ntt.intt(jnp.asarray(L.FP.array_to_mont(base)), k, "fp"))
+        )
+        padded = np.zeros((n * EXT_FACTOR, L.NLIMBS), np.uint32)
+        padded[:n] = coeffs
+        return np.asarray(jax.device_get(ntt.coset_ntt(jnp.asarray(padded), ke, "fp")))
 
     l0 = indicator_ext([0])
     llast = indicator_ext([usable])
@@ -96,103 +108,215 @@ def _ext_domain_tables(k: int):
     )
 
 
-def _values_to_coeffs_np(k: int, values: list[int]) -> np.ndarray:
-    arr = jnp.asarray(L.FP.array_to_mont(values))
-    return np.asarray(ntt.intt(arr, k, "fp"))
-
-
-def _coeffs_to_ext_np(k: int, coeffs_mont: np.ndarray) -> np.ndarray:
-    n = 1 << k
-    padded = np.zeros((n * EXT_FACTOR, L.NLIMBS), np.uint32)
-    padded[:n] = coeffs_mont
-    return np.asarray(ntt.coset_ntt(jnp.asarray(padded), k + 3, "fp"))
-
-
-def _coeffs_host(coeffs_mont) -> list[int]:
-    return L.FP.array_from_mont(coeffs_mont)
-
-
-def commit_values(k: int, values: list[int], blind: int):
-    """values (Lagrange) -> (commitment, coeffs_mont ndarray)."""
-    coeffs_mont = _values_to_coeffs_np(k, values)
-    plain = L.from_mont(jnp.asarray(coeffs_mont), L.FP)
-    from .ipa import _msm_device
-    from .srs import srs_device
-
-    g_dev = tuple(map(jnp.asarray, srs_device(k)))
-    pt = _msm_device_limbs(g_dev, plain)
-    if blind:
-        pt = pt + get_params(k).w * blind
-    return pt, coeffs_mont
-
-
-def _msm_device_limbs(g_dev, scalar_limbs) -> VestaPoint:
-    from ..ops import ec, msm as msm_mod
-
-    out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], scalar_limbs, field="fq")
-    return ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
-
-
-def commit_coeffs(k: int, coeffs: list[int], blind: int) -> VestaPoint:
-    return _commit(get_params(k), coeffs, blind)
-
-
 # ---------------------------------------------------------------------------
-# permutation grand products (host, batch-inverted)
+# compiled pipeline stages (cached per proving key)
 # ---------------------------------------------------------------------------
 
 
-def _batch_inv(vals: list[int]) -> list[int]:
-    prefix = [1] * (len(vals) + 1)
-    for i, v in enumerate(vals):
-        prefix[i + 1] = prefix[i] * v % P
-    inv_all = pow(prefix[-1], -1, P)
-    out = [0] * len(vals)
-    for i in range(len(vals) - 1, -1, -1):
-        out[i] = prefix[i] * inv_all % P
-        inv_all = inv_all * vals[i] % P
-    return out
+class ProverPipeline:
+    """Per-ProvingKey compiled device pipeline + cached static tables."""
 
+    def __init__(self, pk: ProvingKey):
+        self.pk = pk
+        vk = pk.vk
+        self.k = vk.k
+        self.n = vk.n
+        self.u = vk.usable_rows
+        self.omega = vk.omega
+        self.exprs = build_constraints(vk.cs, vk.perm_cols, self.u)
+        self.queries = collect_queries(self.exprs, vk.cs.num_fixed)
+        self.chunks = [
+            vk.perm_cols[i : i + PERM_CHUNK]
+            for i in range(0, len(vk.perm_cols), PERM_CHUNK)
+        ]
+        self._static = None
+        self._quotient_jit = None
+        self._z_jit = None
 
-def _compute_z_columns(pk: ProvingKey, tables, beta: int, gamma: int) -> list[list[int]]:
-    """Grand-product columns, one per chunk of PERM_CHUNK permutation columns."""
-    from .circuit import PERM_CHUNK
-    from .keygen import DELTA
+    # --- static device tables -----------------------------------------
+    def static_tables(self):
+        if self._static is not None:
+            return self._static
+        pk, k, n = self.pk, self.k, self.n
+        xid, l0, llast, lblind, zh_inv = _ext_domain_tables(k)
+        fixed_v = jnp.asarray(pk.fixed_mont())  # (F, n, 16) values
+        sigma_v = jnp.asarray(pk.sigma_mont())
+        fixed_c = ntt.intt(fixed_v, k, "fp") if fixed_v.shape[0] else fixed_v
+        sigma_c = ntt.intt(sigma_v, k, "fp") if sigma_v.shape[0] else sigma_v
+        self._static = {
+            "xid": jnp.asarray(xid),
+            "l0": jnp.asarray(l0),
+            "llast": jnp.asarray(llast),
+            "lblind": jnp.asarray(lblind),
+            "zh_inv": jnp.asarray(zh_inv),
+            "fixed_v": fixed_v,
+            "sigma_v": sigma_v,
+            "fixed_c": fixed_c,
+            "sigma_c": sigma_c,
+            "fixed_e": self.to_ext(fixed_c),
+            "sigma_e": self.to_ext(sigma_c),
+            "omega_pows": jnp.asarray(
+                L.FP.array_to_mont(self._host_powers(self.omega, n))
+            ),
+        }
+        return self._static
 
-    vk = pk.vk
-    n, u = vk.n, vk.usable_rows
-    omega = vk.omega
-    omega_pows = [1] * n
-    for i in range(1, n):
-        omega_pows[i] = omega_pows[i - 1] * omega % P
+    @staticmethod
+    def _host_powers(base: int, n: int):
+        out = [1] * n
+        for i in range(1, n):
+            out[i] = out[i - 1] * base % P
+        return out
 
-    perm_cols = vk.perm_cols
-    chunks = [perm_cols[i : i + PERM_CHUNK] for i in range(0, len(perm_cols), PERM_CHUNK)]
-    z_cols = []
-    running = 1
-    for c, chunk in enumerate(chunks):
-        # ratio(i) = prod_j (v + beta*delta^jg*w^i + gamma) / (v + beta*sigma + gamma)
-        nums = [1] * u
-        dens = [1] * u
-        for j_local, (kind, idx) in enumerate(chunk):
-            jg = c * PERM_CHUNK + j_local
-            col = tables[(kind, idx)]
-            sigma = pk.sigma_cols[jg]
-            bd = beta * pow(DELTA, jg, P) % P
+    # --- shared jitted helpers (keyed by shape via jax's own cache) ----
+    def values_to_coeffs(self, vals_mont):
+        return ntt.intt(vals_mont, self.k, "fp")
+
+    def to_ext(self, coeffs_mont):
+        n, ke = self.n, self.k + 3
+        pad = [(0, 0)] * (coeffs_mont.ndim - 2) + [(0, n * (EXT_FACTOR - 1)), (0, 0)]
+        return ntt.coset_ntt(jnp.pad(coeffs_mont, pad), ke, "fp")
+
+    # --- commitments ---------------------------------------------------
+    def commit_coeff_rows(self, coeffs_mont, blinds: list[int]) -> list[VestaPoint]:
+        """Commit each row of (C, n, 16) Montgomery coefficients."""
+        g_dev = tuple(map(jnp.asarray, srs_device(self.k)))
+        plain = _from_mont_jit(coeffs_mont)
+        outs = []
+        for i in range(coeffs_mont.shape[0]):
+            out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], plain[i], field="fq")
+            outs.append(out)
+        pts = [
+            ec.points_from_device((o[0][None], o[1][None], o[2][None]), VestaPoint)[0]
+            for o in outs
+        ]
+        w = get_params(self.k).w
+        return [pt + w * b if b else pt for pt, b in zip(pts, blinds)]
+
+    # --- permutation grand products ------------------------------------
+    def z_columns(self, tables_by_col, beta: int, gamma: int) -> list[list[int]]:
+        """Grand-product columns (host ints out; cumprod on device)."""
+        st = self.static_tables()
+        n, u = self.n, self.u
+        beta_m = _mont_scalar(beta)
+        gamma_m = _mont_scalar(gamma)
+
+        if self._z_jit is None:
+            chunks = self.chunks
+            perm_index = {c: j for j, c in enumerate(self.pk.vk.perm_cols)}
+
+            def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m):
+                # cols_v: (J, n, 16) permutation column values (Montgomery)
+                ratios = []
+                for c, chunk in enumerate(chunks):
+                    num = None
+                    den = None
+                    for j_local, col in enumerate(chunk):
+                        jg = c * PERM_CHUNK + j_local
+                        v = cols_v[perm_index[col]]
+                        bd = L.mont_mul(
+                            beta_m, jnp.asarray(L.int_to_limbs(pow(DELTA, jg, P) * L.FP.r % P)),
+                            L.FP,
+                        )
+                        t_num = L.add(
+                            L.add(v, L.mont_mul(bd, omega_pows, L.FP), L.FP), gamma_m, L.FP
+                        )
+                        t_den = L.add(
+                            L.add(v, L.mont_mul(beta_m, sigma_v[jg], L.FP), L.FP),
+                            gamma_m,
+                            L.FP,
+                        )
+                        num = t_num if num is None else L.mont_mul(num, t_num, L.FP)
+                        den = t_den if den is None else L.mont_mul(den, t_den, L.FP)
+                    ratio = L.mont_mul(num, L.mont_inv(den, L.FP), L.FP)
+                    ratios.append(poly.mont_cumprod(ratio, "fp"))
+                return jnp.stack(ratios)  # (n_chunks, n, 16)
+
+            self._z_jit = jax.jit(zfn)
+
+        cps = self._z_jit(
+            tables_by_col, st["sigma_v"], st["omega_pows"], beta_m, gamma_m
+        )
+        cps_host = [L.FP.array_from_mont(cps[c]) for c in range(cps.shape[0])]
+        z_cols = []
+        running = 1
+        for cp in cps_host:
+            z = [0] * n
+            z[0] = running
             for i in range(u):
-                v = col[i]
-                nums[i] = nums[i] * ((v + bd * omega_pows[i] + gamma) % P) % P
-                dens[i] = dens[i] * ((v + beta * sigma[i] + gamma) % P) % P
-        dens_inv = _batch_inv(dens)
-        z = [0] * n
-        z[0] = running
-        for i in range(u):
-            z[i + 1] = z[i] * nums[i] % P * dens_inv[i] % P
-        running = z[u]
-        for i in range(u + 1, n):
-            z[i] = _rand()
-        z_cols.append(z)
-    return z_cols
+                z[i + 1] = running * cp[i] % P
+            running = z[u]
+            for i in range(u + 1, n):
+                z[i] = _rand()
+            z_cols.append(z)
+        return z_cols
+
+    # --- quotient -------------------------------------------------------
+    def quotient_coeffs(
+        self, advice_e, inst_e, z_e, beta: int, gamma: int, y: int
+    ):
+        st = self.static_tables()
+        if self._quotient_jit is None:
+            exprs = self.exprs
+            rot_scale = EXT_FACTOR
+
+            def qfn(fixed_e, sigma_e, advice_e, inst_e, z_e, xid, l0, llast,
+                    lblind, zh_inv, beta_m, gamma_m, y_m):
+                ts = TableSet(None, None, None, rot_scale=rot_scale)
+                ts.tables = {
+                    FIXED: fixed_e,
+                    ADVICE: advice_e,
+                    INSTANCE: inst_e,
+                    SIGMA: sigma_e,
+                    Z: z_e,
+                    XID: xid[None],
+                    L0: l0[None],
+                    LLAST: llast[None],
+                    LBLIND: lblind[None],
+                }
+                ch = {"beta": beta_m, "gamma": gamma_m}
+                acc = None
+                for e in exprs:
+                    val = eval_device(e, ts, ch)
+                    acc = val if acc is None else L.add(
+                        L.mont_mul(acc, y_m, L.FP), val, L.FP
+                    )
+                acc = L.mont_mul(acc, zh_inv, L.FP)
+                return ntt.coset_intt(acc, qfn_k + 3, "fp")
+
+            qfn_k = self.k
+            self._quotient_jit = jax.jit(qfn)
+
+        return self._quotient_jit(
+            st["fixed_e"], st["sigma_e"], advice_e, inst_e, z_e,
+            st["xid"], st["l0"], st["llast"], st["lblind"], st["zh_inv"],
+            _mont_scalar(beta), _mont_scalar(gamma), _mont_scalar(y),
+        )
+
+
+def get_pipeline(pk: ProvingKey) -> ProverPipeline:
+    pipe = getattr(pk, "_pipeline", None)
+    if pipe is None:
+        pipe = ProverPipeline(pk)
+        pk._pipeline = pipe
+    return pipe
+
+
+@jax.jit
+def _from_mont_jit(a):
+    return L.from_mont(a, L.FP)
+
+
+@jax.jit
+def _to_mont_jit(a):
+    return L.to_mont(a, L.FP)
+
+
+def _cols_to_mont_dev(cols: list[list[int]]):
+    """Host int columns -> (C, n, 16) device Montgomery limbs."""
+    flat = [v for col in cols for v in col]
+    plain = L.ints_to_limbs(flat).reshape(len(cols), -1, L.NLIMBS)
+    return _to_mont_jit(jnp.asarray(plain))
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +328,7 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     vk = pk.vk
     k, n, u = vk.k, vk.n, vk.usable_rows
     omega = vk.omega
+    pipe = get_pipeline(pk)
     inst = [v.v if isinstance(v, Fp) else int(v) % P for v in instance]
 
     # --- synthesize witness ------------------------------------------
@@ -222,116 +347,109 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         tr.absorb_scalar(Fp(v))
 
     # --- advice commitments ------------------------------------------
-    blinds = {}
-    coeffs = {}  # (kind, index) -> host coeff list
-    for i, col in enumerate(advice):
-        b = _rand()
-        c_pt, cf = commit_values(k, col, b)
-        blinds[(ADVICE, i)] = b
-        coeffs[(ADVICE, i)] = _coeffs_host(cf)
-        tr.write_point(c_pt)
+    inst_col = inst + [0] * (n - len(inst))
+    advice_v = _cols_to_mont_dev(advice)  # (A, n, 16)
+    advice_c = pipe.values_to_coeffs(advice_v)
+    advice_blinds = [_rand() for _ in advice]
+    for pt in pipe.commit_coeff_rows(advice_c, advice_blinds):
+        tr.write_point(pt)
 
     beta = tr.challenge(b"beta").v
     gamma = tr.challenge(b"gamma").v
 
     # --- permutation products ----------------------------------------
-    inst_col = inst + [0] * (n - len(inst))
-    tables = {(ADVICE, i): advice[i] for i in range(len(advice))}
-    tables.update({(FIXED, i): pk.fixed_cols[i] for i in range(len(pk.fixed_cols))})
-    tables[(INSTANCE, 0)] = inst_col
-    z_cols = _compute_z_columns(pk, tables, beta, gamma)
-    for c, zc in enumerate(z_cols):
-        b = _rand()
-        c_pt, cf = commit_values(k, zc, b)
-        blinds[(Z, c)] = b
-        coeffs[(Z, c)] = _coeffs_host(cf)
-        tr.write_point(c_pt)
+    st = pipe.static_tables()
+    perm_tables = []
+    for kind, idx in vk.perm_cols:
+        if kind == ADVICE:
+            perm_tables.append(advice_v[idx])
+        elif kind == FIXED:
+            perm_tables.append(st["fixed_v"][idx])
+        else:
+            perm_tables.append(
+                _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col)))
+            )
+    z_cols = pipe.z_columns(jnp.stack(perm_tables), beta, gamma)
+    z_v = _cols_to_mont_dev(z_cols)
+    z_c = pipe.values_to_coeffs(z_v)
+    z_blinds = [_rand() for _ in z_cols]
+    for pt in pipe.commit_coeff_rows(z_c, z_blinds):
+        tr.write_point(pt)
 
     y = tr.challenge(b"y").v
 
     # --- quotient -----------------------------------------------------
-    exprs = build_constraints(cs, vk.perm_cols, beta, gamma, u)
-    xid_t, l0_t, llast_t, lblind_t, zh_inv_t = _ext_domain_tables(k)
-
-    def ext_of_values(vals):
-        return _coeffs_to_ext_np(k, _values_to_coeffs_np(k, vals))
-
-    fixed_ext = [ext_of_values(col) for col in pk.fixed_cols]
-    advice_ext = [ext_of_values(col) for col in advice]
-    sigma_ext = [ext_of_values(col) for col in pk.sigma_cols]
-    z_ext = [ext_of_values(col) for col in z_cols]
-    inst_ext = [ext_of_values(inst_col)]
-
-    ts = TableSet(None, None, None, rot_scale=EXT_FACTOR)
-    ts.tables = {
-        FIXED: jnp.asarray(np.stack(fixed_ext)) if fixed_ext else None,
-        ADVICE: jnp.asarray(np.stack(advice_ext)) if advice_ext else None,
-        INSTANCE: jnp.asarray(np.stack(inst_ext)),
-        SIGMA: jnp.asarray(np.stack(sigma_ext)) if sigma_ext else None,
-        Z: jnp.asarray(np.stack(z_ext)) if z_ext else None,
-        XID: jnp.asarray(xid_t)[None],
-        L0: jnp.asarray(l0_t)[None],
-        LLAST: jnp.asarray(llast_t)[None],
-        LBLIND: jnp.asarray(lblind_t)[None],
-    }
-
-    y_mont = jnp.asarray(L.int_to_limbs(y * L.FP.r % P))
-    acc = None
-    for e in exprs:
-        val = eval_device(e, ts)
-        if acc is None:
-            acc = val
-        else:
-            acc = L.add(L.mont_mul(acc, y_mont, L.FP), val, L.FP)
-    acc = L.mont_mul(acc, jnp.asarray(zh_inv_t), L.FP)
-    h_coeffs_mont = np.asarray(ntt.coset_intt(acc, k + 3, "fp"))
-    h_all = _coeffs_host(h_coeffs_mont)
-    assert all(v == 0 for v in h_all[NUM_H_PIECES * n :]), "quotient degree overflow"
-    for i in range(NUM_H_PIECES):
-        piece = h_all[i * n : (i + 1) * n]
-        b = _rand()
-        c_pt = commit_coeffs(k, piece, b)
-        blinds[(QUOTIENT, i)] = b
-        coeffs[(QUOTIENT, i)] = piece
-        tr.write_point(c_pt)
+    inst_v = _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col))[None])
+    inst_c = pipe.values_to_coeffs(inst_v)
+    advice_e = pipe.to_ext(advice_c)
+    inst_e = pipe.to_ext(inst_c)
+    z_e = pipe.to_ext(z_c)
+    h_all = pipe.quotient_coeffs(advice_e, inst_e, z_e, beta, gamma, y)
+    # degree check: pieces beyond NUM_H_PIECES*n must vanish
+    tail = _from_mont_jit(h_all[NUM_H_PIECES * n :])
+    assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
+    h_pieces = h_all[: NUM_H_PIECES * n].reshape(NUM_H_PIECES, n, L.NLIMBS)
+    h_blinds = [_rand() for _ in range(NUM_H_PIECES)]
+    for pt in pipe.commit_coeff_rows(h_pieces, h_blinds):
+        tr.write_point(pt)
 
     x = tr.challenge(b"x").v
 
-    # --- evaluations --------------------------------------------------
-    for i, col in enumerate(pk.fixed_cols):
-        coeffs[(FIXED, i)] = _coeffs_host(_values_to_coeffs_np(k, col))
-        blinds[(FIXED, i)] = 0
-    for i, col in enumerate(pk.sigma_cols):
-        coeffs[(SIGMA, i)] = _coeffs_host(_values_to_coeffs_np(k, col))
-        blinds[(SIGMA, i)] = 0
+    # --- stack all committed coefficient tables -----------------------
+    # order must match collect_queries kinds
+    kind_stacks = {
+        ADVICE: (advice_c, advice_blinds),
+        FIXED: (st["fixed_c"], [0] * st["fixed_c"].shape[0]),
+        SIGMA: (st["sigma_c"], [0] * st["sigma_c"].shape[0]),
+        Z: (z_c, z_blinds),
+        QUOTIENT: (h_pieces, h_blinds),
+    }
 
-    queries = collect_queries(exprs, cs.num_fixed)
+    # --- evaluations at the query points (device, batched) ------------
+    queries = pipe.queries
+    rotset = sorted({rot % n for (_, _, rot) in queries})
+    points = {rot: x * pow(omega, rot, P) % P for rot in rotset}
+    pts_mont = jnp.stack([_mont_scalar(points[rot]) for rot in rotset])
+    all_coeffs = jnp.concatenate([kind_stacks[kd][0] for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT) if kind_stacks[kd][0].shape[0]], axis=0)
+    offsets = {}
+    off = 0
+    for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT):
+        offsets[kd] = off
+        off += kind_stacks[kd][0].shape[0]
+    evals_dev = poly.eval_polys_at_points(all_coeffs, pts_mont)  # (Q, C, 16)
+    evals_host = {}
+    ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
+    for qi, rot in enumerate(rotset):
+        row = ev_np[qi]
+        for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT):
+            base = offsets[kd]
+            for ci in range(kind_stacks[kd][0].shape[0]):
+                evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
+
     evals = {}
     for kind, idx, rot in queries:
-        pt = x * pow(omega, rot % n, P) % P
-        v = _eval_poly(coeffs[(kind, idx)], pt)
+        v = evals_host[(kind, idx, rot % n)]
         evals[(kind, idx, rot)] = v
         tr.write_scalar(Fp(v))
 
     # --- multiopen ----------------------------------------------------
     entries = []
     for kind, idx, rot in queries:
-        pt = x * pow(omega, rot % n, P) % P
         entries.append(
             {
-                "coeffs": coeffs[(kind, idx)],
-                "blind": blinds[(kind, idx)],
-                "point": pt,
+                "coeff_ref": (kind, idx),
+                "blind": kind_stacks[kind][1][idx],
+                "point": points[rot % n],
                 "value": evals[(kind, idx, rot)],
             }
         )
-    multiopen_open(k, entries, tr)
+    multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
     return tr.bytes()
 
 
-def multiopen_open(k: int, entries: list[dict], tr: ProofWriter):
-    """Shplonk-style aggregation then a single IPA open (see plonk/ipa.py)."""
-    n = 1 << k
+def multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr):
+    """Shplonk-style aggregation then a single IPA open, on device."""
+    k, n = pipe.k, pipe.n
     params = get_params(k)
     v_ch = tr.challenge(b"mo-v").v
     groups: dict[int, list[dict]] = {}
@@ -342,56 +460,58 @@ def multiopen_open(k: int, entries: list[dict], tr: ProofWriter):
             order.append(e["point"])
         groups[e["point"]].append(e)
 
+    # aggregate each group: coeffs = sum v^i A_i (device), blind/value host
     agg = []
     for ptv in order:
-        coeff = [0] * n
+        weights = []
+        idxs = []
         blind = 0
         value = 0
         vp = 1
         for e in groups[ptv]:
-            for i, c in enumerate(e["coeffs"]):
-                coeff[i] = (coeff[i] + vp * c) % P
+            kind, ci = e["coeff_ref"]
+            idxs.append(offsets[kind] + ci)
+            weights.append(vp)
             blind = (blind + vp * e["blind"]) % P
             value = (value + vp * e["value"]) % P
             vp = vp * v_ch % P
+        w_m = jnp.stack([_mont_scalar(w) for w in weights])
+        sel = jnp.take(all_coeffs, jnp.asarray(idxs), axis=0)
+        coeff = poly.mont_linear_combo(sel, w_m)
         agg.append({"point": ptv, "coeffs": coeff, "blind": blind, "value": value})
 
     u_ch = tr.challenge(b"mo-u").v
-    h = [0] * n
+    # h = sum u^j (A_j - a_j) / (X - p_j)
+    h = None
     up = 1
     for g in agg:
-        # q = (A - a) / (X - p): synthetic division, exact when A(p) = a
-        rem = 0
-        q = [0] * n
-        acc = 0
-        for i in range(n - 1, -1, -1):
-            c = g["coeffs"][i] if i < n else 0
-            if i == 0:
-                rem = (acc * g["point"] + c - g["value"]) % P
-            else:
-                q[i - 1] = (acc * g["point"] + c) % P
-                acc = q[i - 1]
-        assert rem == 0, "multiopen: claimed value mismatch"
-        for i in range(n):
-            h[i] = (h[i] + up * q[i]) % P
+        q = poly.synthetic_div(
+            g["coeffs"], _mont_scalar(g["point"]),
+            _mont_scalar(pow(g["point"], -1, P)),
+        )
+        w = _mont_scalar(up)
+        part = L.mont_mul(q, w, L.FP)
+        h = part if h is None else L.add(h, part, L.FP)
         up = up * u_ch % P
 
     h_blind = _rand()
-    c_h = commit_coeffs(k, h, h_blind)
+    c_h = pipe.commit_coeff_rows(h[None], [h_blind])[0]
     tr.write_point(c_h)
     x3 = tr.challenge(b"mo-x3").v
-    a_vals = []
-    for g in agg:
-        av = _eval_poly(g["coeffs"], x3)
-        a_vals.append(av)
+    x3_m = _mont_scalar(x3)
+    a_dev = poly.eval_polys_at_points(
+        jnp.stack([g["coeffs"] for g in agg]), x3_m[None]
+    )[0]
+    a_np = np.asarray(jax.device_get(_from_mont_jit(a_dev)))
+    a_vals = [L.limbs_to_int(a_np[i]) for i in range(len(agg))]
+    for av in a_vals:
         tr.write_scalar(Fp(av))
     w_ch = tr.challenge(b"mo-w").v
-    f = list(h)
+    f = h
     f_blind = h_blind
     wp = w_ch
     for g in agg:
-        for i in range(n):
-            f[i] = (f[i] + wp * g["coeffs"][i]) % P
+        f = L.add(f, L.mont_mul(g["coeffs"], _mont_scalar(wp), L.FP), L.FP)
         f_blind = (f_blind + wp * g["blind"]) % P
         wp = wp * w_ch % P
-    ipa_open(params, f, f_blind, x3, tr)
+    ipa_open_device(params, f, f_blind, x3, tr)

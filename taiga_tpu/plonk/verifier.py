@@ -64,7 +64,8 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
     h_c = [tr.read_point() for _ in range(NUM_H_PIECES)]
     x = tr.challenge(b"x").v
 
-    exprs = build_constraints(cs, vk.perm_cols, beta, gamma, u)
+    exprs = build_constraints(cs, vk.perm_cols, u)
+    challenges = {"beta": beta, "gamma": gamma}
     queries = collect_queries(exprs, cs.num_fixed)
     evals = {}
     for q in queries:
@@ -78,7 +79,7 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
 
     acc = 0
     for e in exprs:
-        acc = (acc * y + eval_at_point(e, getter)) % P
+        acc = (acc * y + eval_at_point(e, getter, challenges)) % P
     zh = (pow(x, n, P) - 1) % P
     t_x = 0
     xe = pow(x, n, P)

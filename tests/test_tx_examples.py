@@ -1,0 +1,36 @@
+"""End-to-end example flows through the transparent execution path (reference
+examples/tx_examples; the shielded variants drive the full prover and run in
+the benchmark tier instead of the unit suite)."""
+
+import random
+
+from taiga_tpu.core.proving import set_params_size
+from taiga_tpu.examples import (
+    create_partial_fulfillment_transaction,
+    create_token_swap_intent_transaction,
+    create_token_swap_transaction,
+)
+
+set_params_size(rl=14)
+
+rng = random.Random(0xE2E)
+
+
+def test_three_party_cyclic_swap():
+    tx = create_token_swap_transaction(rng, mode="transparent")
+    result = tx.execute()
+    assert len(result.nullifiers) == 3
+    assert len(result.output_cms) == 3
+
+
+def test_intent_matched_swap():
+    tx = create_token_swap_intent_transaction(rng, mode="transparent")
+    result = tx.execute()
+    assert len(result.nullifiers) == 3
+
+
+def test_partial_fulfillment_swap():
+    tx = create_partial_fulfillment_transaction(rng, mode="transparent")
+    result = tx.execute()
+    # alice(1) + bob(1) + solver(2 compliance units)
+    assert len(result.nullifiers) == 4
