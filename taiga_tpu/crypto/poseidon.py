@@ -133,7 +133,15 @@ def permute_ints(state: list[int]) -> list[int]:
     Mirrors halo2_gadgets `primitives::permute`: first half full rounds,
     partial rounds (S-box on state[0] only), second half full rounds. Round
     constants are added to the whole state at the start of every round.
+
+    Dispatches to the native C++ engine (taiga_tpu.native) when available;
+    the Python path below is the differential reference.
     """
+    from .. import native as _native
+
+    out = _native.poseidon_permute_ints(state)
+    if out is not None:
+        return out
     p = _P
     s0, s1, s2 = state
     m = MDS

@@ -1,0 +1,111 @@
+"""ctypes bindings for the native host crypto engine (src/pasta_host.cpp).
+
+The shared library is built on demand with the system toolchain (g++) and
+cached next to the source. If no compiler is available the package degrades
+gracefully — `lib()` returns None and callers fall back to the pure-Python
+implementations (same results, differentially tested in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "src", "pasta_host.cpp")
+_SO = os.path.join(_DIR, "libpasta_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+FIELD_FP = 0
+FIELD_FQ = 1
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def lib():
+    """The loaded+initialized shared library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            so = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        so.taiga_field_init.argtypes = [ctypes.c_int, u64p]
+        so.taiga_mont_mul_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_mod_add_batch.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_poseidon_init.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_int, ctypes.c_int]
+        so.taiga_poseidon_permute_batch.argtypes = [ctypes.c_int, u64p, ctypes.c_long]
+        so.taiga_poseidon_hash2_chain.argtypes = [
+            ctypes.c_int, u64p, u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        _init_constants(so)
+        _lib = so
+        return _lib
+
+
+def _ints_to_u64(vals: list[int]) -> "ctypes.Array":
+    buf = b"".join(v.to_bytes(32, "little") for v in vals)
+    return (ctypes.c_uint64 * (4 * len(vals))).from_buffer_copy(buf)
+
+
+def _u64_to_ints(arr, n: int) -> list[int]:
+    raw = bytes(bytearray(arr))[: 32 * n]
+    return [int.from_bytes(raw[32 * i : 32 * i + 32], "little") for i in range(n)]
+
+
+def _init_constants(so):
+    from ..crypto import poseidon as hp
+    from ..crypto.fields import Fp, Fq
+
+    for fid, field in ((FIELD_FP, Fp), (FIELD_FQ, Fq)):
+        so.taiga_field_init(fid, _ints_to_u64([field.MODULUS]))
+    # Poseidon parameters exist for Fp (the protocol hash field)
+    mds_flat = [hp.MDS[i][j] for i in range(3) for j in range(3)]
+    rc_flat = [hp.ROUND_CONSTANTS[r][i] for r in range(len(hp.ROUND_CONSTANTS)) for i in range(3)]
+    so.taiga_poseidon_init(
+        FIELD_FP, _ints_to_u64(mds_flat), _ints_to_u64(rc_flat),
+        hp.FULL_ROUNDS, hp.PARTIAL_ROUNDS,
+    )
+
+
+def poseidon_permute_ints(state: list[int]) -> list[int] | None:
+    """One Fp Poseidon permutation via the native engine (None if absent)."""
+    so = lib()
+    if so is None:
+        return None
+    arr = _ints_to_u64(state)
+    so.taiga_poseidon_permute_batch(FIELD_FP, arr, 1)
+    return _u64_to_ints(arr, 3)
+
+
+def merkle_fold(leaf: int, siblings: list[int], is_left: list[bool]) -> int | None:
+    """Poseidon-2 Merkle chain fold via the native engine (None if absent)."""
+    so = lib()
+    if so is None:
+        return None
+    out = _ints_to_u64([leaf])
+    sib = _ints_to_u64(siblings)
+    flags = (ctypes.c_uint8 * len(is_left))(*[1 if b else 0 for b in is_left])
+    so.taiga_poseidon_hash2_chain(FIELD_FP, out, sib, flags, len(is_left))
+    return _u64_to_ints(out, 1)[0]

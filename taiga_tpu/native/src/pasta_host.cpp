@@ -1,0 +1,253 @@
+// Native host crypto engine: 4x64-limb Montgomery arithmetic over the Pasta
+// fields and a batched Poseidon permutation (t = 3, P128Pow5T3 shape).
+//
+// This is the TPU build's counterpart of the reference's native (Rust) host
+// crypto (pasta_curves field ops + halo2 poseidon primitives — see SURVEY.md
+// §2.4): the JAX/Pallas device kernels own the prover's bulk math, and this
+// library owns the host-side scalar crypto (resource commitments, nullifier
+// derivation, Merkle folds, encryption sponge) where Python bigints are
+// orders of magnitude too slow.
+//
+// Field elements cross the FFI boundary as 4 little-endian uint64 limbs in
+// PLAIN (non-Montgomery) form. All constants (modulus, MDS, round constants)
+// are supplied at init by Python — the single source of truth stays in
+// taiga_tpu.crypto (Grain-derived), and this engine is differentially tested
+// against it (tests/test_native.py).
+//
+// Build: g++ -O3 -shared -fPIC -o libpasta_host.so pasta_host.cpp
+
+#include <cstdint>
+#include <cstring>
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+struct Field {
+    u64 mod[4];    // modulus, little-endian limbs
+    u64 r2[4];     // R^2 mod p (R = 2^256)
+    u64 n0inv;     // -p^{-1} mod 2^64
+    bool ready = false;
+};
+
+struct PoseidonParams {
+    u64 mds[3][3][4];      // Montgomery form
+    u64 rc[64][3][4];      // Montgomery form
+    int full_rounds = 8;
+    int partial_rounds = 56;
+    bool ready = false;
+};
+
+static Field g_fields[2];          // 0 = Fp (Pallas base), 1 = Fq
+static PoseidonParams g_poseidon[2];
+
+// --- core limb ops ---------------------------------------------------------
+
+static inline int add4(u64 out[4], const u64 a[4], const u64 b[4]) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        c += (u128)a[i] + b[i];
+        out[i] = (u64)c;
+        c >>= 64;
+    }
+    return (int)c;
+}
+
+static inline int sub4(u64 out[4], const u64 a[4], const u64 b[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        out[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    return (int)borrow;
+}
+
+static inline bool ge4(const u64 a[4], const u64 b[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > b[i]) return true;
+        if (a[i] < b[i]) return false;
+    }
+    return true;
+}
+
+static inline void mont_mul(u64 out[4], const u64 a[4], const u64 b[4],
+                            const Field& f) {
+    // CIOS Montgomery multiplication, 4x64 limbs.
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; j++) {
+            carry += (u128)t[j] + (u128)a[i] * b[j];
+            t[j] = (u64)carry;
+            carry >>= 64;
+        }
+        carry += t[4];
+        t[4] = (u64)carry;
+        t[5] = (u64)(carry >> 64);
+
+        u64 m = t[0] * f.n0inv;
+        carry = (u128)t[0] + (u128)m * f.mod[0];
+        carry >>= 64;
+        for (int j = 1; j < 4; j++) {
+            carry += (u128)t[j] + (u128)m * f.mod[j];
+            t[j - 1] = (u64)carry;
+            carry >>= 64;
+        }
+        carry += t[4];
+        t[3] = (u64)carry;
+        t[4] = t[5] + (u64)(carry >> 64);
+        t[5] = 0;
+    }
+    u64 r[4] = {t[0], t[1], t[2], t[3]};
+    if (t[4] || ge4(r, f.mod)) sub4(out, r, f.mod);
+    else std::memcpy(out, r, 32);
+}
+
+static inline void mod_add(u64 out[4], const u64 a[4], const u64 b[4],
+                           const Field& f) {
+    u64 s[4];
+    int c = add4(s, a, b);
+    if (c || ge4(s, f.mod)) sub4(out, s, f.mod);
+    else std::memcpy(out, s, 32);
+}
+
+static inline void mod_sub(u64 out[4], const u64 a[4], const u64 b[4],
+                           const Field& f) {
+    u64 s[4];
+    if (sub4(s, a, b)) add4(out, s, f.mod);
+    else std::memcpy(out, s, 32);
+}
+
+static void to_mont(u64 out[4], const u64 a[4], const Field& f) {
+    mont_mul(out, a, f.r2, f);
+}
+
+static void from_mont(u64 out[4], const u64 a[4], const Field& f) {
+    u64 one[4] = {1, 0, 0, 0};
+    mont_mul(out, a, one, f);
+}
+
+// --- exported API ----------------------------------------------------------
+
+extern "C" {
+
+// Initialize a field: modulus as 4 LE u64 limbs. R2/n0inv derived here.
+void taiga_field_init(int field_id, const u64* modulus) {
+    Field& f = g_fields[field_id];
+    std::memcpy(f.mod, modulus, 32);
+    // n0inv = -p^{-1} mod 2^64 (Newton iteration)
+    u64 p0 = f.mod[0];
+    u64 inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - p0 * inv;
+    f.n0inv = (u64)(0 - inv);
+    // R2 = 2^512 mod p by 512 modular doublings of 1
+    u64 r[4] = {1, 0, 0, 0};
+    for (int i = 0; i < 512; i++) mod_add(r, r, r, f);
+    std::memcpy(f.r2, r, 32);
+    f.ready = true;
+}
+
+void taiga_mont_mul_batch(int field_id, u64* out, const u64* a, const u64* b,
+                          long n) {
+    const Field& f = g_fields[field_id];
+    for (long i = 0; i < n; i++) {
+        u64 am[4], bm[4], cm[4];
+        to_mont(am, a + 4 * i, f);
+        to_mont(bm, b + 4 * i, f);
+        mont_mul(cm, am, bm, f);
+        from_mont(out + 4 * i, cm, f);
+    }
+}
+
+void taiga_mod_add_batch(int field_id, u64* out, const u64* a, const u64* b,
+                         long n) {
+    const Field& f = g_fields[field_id];
+    for (long i = 0; i < n; i++)
+        mod_add(out + 4 * i, a + 4 * i, b + 4 * i, f);
+}
+
+// Poseidon: MDS (9 elements) + round constants (n_rounds*3) in PLAIN form.
+void taiga_poseidon_init(int field_id, const u64* mds, const u64* rc,
+                         int full_rounds, int partial_rounds) {
+    const Field& f = g_fields[field_id];
+    PoseidonParams& p = g_poseidon[field_id];
+    p.full_rounds = full_rounds;
+    p.partial_rounds = partial_rounds;
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++)
+            to_mont(p.mds[i][j], mds + 4 * (3 * i + j), f);
+    int total = full_rounds + partial_rounds;
+    for (int r = 0; r < total; r++)
+        for (int i = 0; i < 3; i++)
+            to_mont(p.rc[r][i], rc + 4 * (3 * r + i), f);
+    p.ready = true;
+}
+
+static inline void sbox5(u64 x[4], const Field& f) {
+    u64 x2[4], x4[4];
+    mont_mul(x2, x, x, f);
+    mont_mul(x4, x2, x2, f);
+    mont_mul(x, x4, x, f);
+}
+
+// In-place batched Poseidon permutation over states (n, 3, 4) plain u64.
+void taiga_poseidon_permute_batch(int field_id, u64* states, long n) {
+    const Field& f = g_fields[field_id];
+    const PoseidonParams& p = g_poseidon[field_id];
+    int half = p.full_rounds / 2;
+    int total = p.full_rounds + p.partial_rounds;
+    for (long s = 0; s < n; s++) {
+        u64 st[3][4];
+        for (int i = 0; i < 3; i++) to_mont(st[i], states + 12 * s + 4 * i, f);
+        for (int r = 0; r < total; r++) {
+            bool is_full = (r < half) || (r >= half + p.partial_rounds);
+            for (int i = 0; i < 3; i++) mod_add(st[i], st[i], p.rc[r][i], f);
+            if (is_full) {
+                for (int i = 0; i < 3; i++) sbox5(st[i], f);
+            } else {
+                sbox5(st[0], f);
+            }
+            u64 nxt[3][4];
+            for (int i = 0; i < 3; i++) {
+                u64 acc[4] = {0, 0, 0, 0};
+                for (int j = 0; j < 3; j++) {
+                    u64 t[4];
+                    mont_mul(t, p.mds[i][j], st[j], f);
+                    mod_add(acc, acc, t, f);
+                }
+                std::memcpy(nxt[i], acc, 32);
+            }
+            std::memcpy(st, nxt, sizeof(st));
+        }
+        for (int i = 0; i < 3; i++) from_mont(states + 12 * s + 4 * i, st[i], f);
+    }
+}
+
+// Poseidon Merkle fold: leaf + path of (sibling, is_left) -> root.
+// ConstantLength<2> hash per level: state = (l, r, capacity), capacity
+// init = 2 << 64 (matches crypto/poseidon.py ConstantLength domain).
+void taiga_poseidon_hash2_chain(int field_id, u64* leaf_out,
+                                const u64* siblings, const uint8_t* is_left,
+                                int depth) {
+    const Field& f = g_fields[field_id];
+    u64 node[4];
+    std::memcpy(node, leaf_out, 32);
+    for (int d = 0; d < depth; d++) {
+        u64 state[12];
+        const u64* sib = siblings + 4 * d;
+        u64 cap[4] = {0, 2, 0, 0};  // 2 * 2^64
+        if (is_left[d]) {
+            std::memcpy(state, sib, 32);
+            std::memcpy(state + 4, node, 32);
+        } else {
+            std::memcpy(state, node, 32);
+            std::memcpy(state + 4, sib, 32);
+        }
+        std::memcpy(state + 8, cap, 32);
+        taiga_poseidon_permute_batch(field_id, state, 1);
+        std::memcpy(node, state, 32);
+    }
+    std::memcpy(leaf_out, node, 32);
+}
+
+}  // extern "C"

@@ -1,0 +1,287 @@
+"""Fused Pallas TPU kernels for 255-bit field and curve arithmetic.
+
+Limb-major layout: a field element batch is a (16, B) uint32 tensor — limbs
+on the sublane axis, the element batch on the 128-wide lane axis — so every
+limb operation is a cheap sublane shift and the batch fills all vector lanes.
+
+The point of these kernels is FUSION: a complete Jacobian addition is ~25
+Montgomery multiplications; done as stock XLA ops each materializes (B, 16)
+intermediates through HBM (the measured cost was ~60x the VPU floor). Here
+the whole formula stays in VMEM/registers inside one kernel.
+
+On non-TPU backends the kernels run in Pallas interpret mode (slow but
+correct) — tests exercise the same code path the TPU runs.
+
+Used by the Pippenger MSM (ops/msm.py). Reference for the math being
+accelerated: the halo2 IPA commitment MSMs (taiga_halo2's `create_proof`
+dominant cost, see SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limbs as L
+
+W = 16
+NLIMBS = 16
+MASK = 0xFFFF  # python int: kernels cannot capture jnp scalars
+LANES = 128
+
+
+def _use_pallas() -> bool:
+    """Pallas lowering only on real TPU; elsewhere the same kernel math runs
+    as plain XLA ops (bit-identical, far faster than pallas interpret mode)."""
+    return jax.default_backend() == "tpu"
+
+
+@lru_cache(maxsize=None)
+def _consts(field: str):
+    """Python-int constants (pallas kernels may not capture outside arrays;
+    these are materialized as inline constants inside each kernel body)."""
+    spec = L.FP if field == "fp" else L.FQ
+    n_list = tuple(int(v) for v in spec.n_limbs)
+    return n_list, int(spec.n0inv)
+
+
+def _n_col_host(field: str):
+    n_list, _ = _consts(field)
+    return np.asarray(n_list, np.uint32).reshape(NLIMBS, 1)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel field helpers (operate on (16, B) jnp values)
+# ---------------------------------------------------------------------------
+
+
+def _carry16(t):
+    """Propagate carries over the 16 sublane rows -> canonical + carry row."""
+    rows = [t[i] for i in range(t.shape[0])]
+    out = []
+    carry = jnp.zeros_like(rows[0])
+    for r in rows:
+        v = r + carry
+        out.append(v & MASK)
+        carry = v >> W
+    return jnp.stack(out), carry
+
+
+def _sub_n(a16, n_col):
+    """a - n with borrow; a16 (16, B) canonical."""
+    out = []
+    borrow = jnp.zeros_like(a16[0])
+    for i in range(NLIMBS):
+        d = a16[i] - n_col[i, 0] - borrow
+        out.append(d & MASK)
+        borrow = (d >> 31) & 1
+    return jnp.stack(out), borrow
+
+
+def _reduce(a16, hi, n_col):
+    d, borrow = _sub_n(a16, n_col)
+    ge = (borrow == 0) | (hi > 0)
+    return jnp.where(ge[None, :], d, a16)
+
+
+def _mm(a, b, n_col, n0inv):
+    """Montgomery product of (16, B) canonical limb tensors."""
+    zero_row = jnp.zeros_like(a[0:1])
+    t = jnp.zeros((NLIMBS + 1,) + a.shape[1:], jnp.uint32)
+    for i in range(NLIMBS):
+        p = a[i] * b  # (16, B) u32 products
+        t = t + jnp.concatenate([p & MASK, zero_row], 0) \
+              + jnp.concatenate([zero_row, p >> W], 0)
+        m = ((t[0] & MASK) * n0inv) & MASK
+        p2 = m * n_col
+        t = t + jnp.concatenate([p2 & MASK, zero_row], 0) \
+              + jnp.concatenate([zero_row, p2 >> W], 0)
+        carry = t[0] >> W
+        t = jnp.concatenate([(t[1] + carry)[None], t[2:], zero_row], 0)
+    c16, carry = _carry16(t)
+    hi = c16[NLIMBS] + carry
+    return _reduce(c16[:NLIMBS], hi, n_col)
+
+
+def _madd(a, b, n_col):
+    s, carry = _carry16(a + b)
+    return _reduce(s, carry, n_col)
+
+
+def _msub(a, b, n_col):
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(NLIMBS):
+        d = a[i] - b[i] - borrow
+        out.append(d & MASK)
+        borrow = (d >> 31) & 1
+    diff = jnp.stack(out)
+    fixed, _ = _carry16(diff + jnp.where(borrow[None, :] > 0, n_col, jnp.uint32(0)))
+    return fixed
+
+
+def _is_zero(a):
+    return jnp.all(a == 0, axis=0)
+
+
+def _ec_add_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
+    """Complete Jacobian addition (compute-both-and-select), in-kernel."""
+    mm = lambda a, b: _mm(a, b, n_col, n0inv)
+    add = lambda a, b: _madd(a, b, n_col)
+    sub = lambda a, b: _msub(a, b, n_col)
+
+    z1z1 = mm(z1, z1)
+    z2z2 = mm(z2, z2)
+    u1 = mm(x1, z2z2)
+    u2 = mm(x2, z1z1)
+    s1 = mm(y1, mm(z2, z2z2))
+    s2 = mm(y2, mm(z1, z1z1))
+    h = sub(u2, u1)
+    r = sub(s2, s1)
+    hh = mm(h, h)
+    hhh = mm(h, hh)
+    v = mm(u1, hh)
+    r2 = mm(r, r)
+    x3 = sub(sub(r2, hhh), add(v, v))
+    y3 = sub(mm(r, sub(v, x3)), mm(s1, hhh))
+    z3 = mm(mm(z1, z2), h)
+
+    # doubling path (a = 0)
+    a_ = mm(x1, x1)
+    b_ = mm(y1, y1)
+    c_ = mm(b_, b_)
+    xb = add(x1, b_)
+    d_ = sub(sub(mm(xb, xb), a_), c_)
+    d_ = add(d_, d_)
+    e_ = add(add(a_, a_), a_)
+    f_ = mm(e_, e_)
+    dx = sub(f_, add(d_, d_))
+    c8 = add(add(c_, c_), add(c_, c_))
+    c8 = add(c8, c8)
+    dy = sub(mm(e_, sub(d_, dx)), c8)
+    yz = mm(y1, z1)
+    dz = add(yz, yz)
+
+    p_inf = _is_zero(z1)
+    q_inf = _is_zero(z2)
+    h_zero = _is_zero(h)
+    r_zero = _is_zero(r)
+    both = (~p_inf) & (~q_inf)
+    is_double = both & h_zero & r_zero
+    is_cancel = both & h_zero & (~r_zero)
+
+    xo = jnp.where(is_double[None], dx, x3)
+    yo = jnp.where(is_double[None], dy, y3)
+    zo = jnp.where(is_double[None], dz, z3)
+    zo = jnp.where(is_cancel[None], jnp.uint32(0), zo)
+    xo = jnp.where(p_inf[None], x2, jnp.where(q_inf[None], x1, xo))
+    yo = jnp.where(p_inf[None], y2, jnp.where(q_inf[None], y1, yo))
+    zo = jnp.where(p_inf[None], z2, jnp.where(q_inf[None], z1, zo))
+    return xo, yo, zo
+
+
+# ---------------------------------------------------------------------------
+# pallas entry points
+# ---------------------------------------------------------------------------
+
+BT = 512  # lanes per block
+
+# the modulus-limb column is replicated to every grid step
+_NC_SPEC = pl.BlockSpec((NLIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _grid_call(kernel, n_in, n_out, B):
+    bt = min(BT, B)
+    assert B % bt == 0
+    spec = pl.BlockSpec((NLIMBS, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return partial(
+        pl.pallas_call,
+        kernel,
+        grid=(B // bt,),
+    ), spec, lane_spec
+
+
+@partial(jax.jit, static_argnames=("field",))
+def mont_mul_lm(a, b, field: str = "fq"):
+    """(16, B) x (16, B) Montgomery product."""
+    B = a.shape[1]
+    _, n0inv = _consts(field)
+    if not _use_pallas():
+        return _mm(a, b, jnp.asarray(_n_col_host(field)), n0inv)
+
+    def kernel(nc_ref, a_ref, b_ref, o_ref):
+        o_ref[:, :] = _mm(a_ref[:, :], b_ref[:, :], nc_ref[:, :], n0inv)
+
+    call, spec, _ = _grid_call(kernel, 2, 1, B)
+    return call(
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32),
+        in_specs=[_NC_SPEC, spec, spec],
+        out_specs=spec,
+    )(jnp.asarray(_n_col_host(field)), a, b)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def ec_add_select_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
+    """out = sel ? P1 + P2 : P1, lane-wise. Points (16, B); sel (1, B) u32."""
+    B = x1.shape[1]
+    _, n0inv = _consts(field)
+    if not _use_pallas():
+        nc = jnp.asarray(_n_col_host(field))
+        x3, y3, z3 = _ec_add_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
+        m = sel[0, :] > 0
+        return (
+            jnp.where(m[None], x3, x1),
+            jnp.where(m[None], y3, y1),
+            jnp.where(m[None], z3, z1),
+        )
+
+    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
+        x3, y3, z3 = _ec_add_core(
+            x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
+            nc_ref[:, :], n0inv,
+        )
+        m = sr[0, :] > 0
+        xo[:, :] = jnp.where(m[None], x3, x1r[:, :])
+        yo[:, :] = jnp.where(m[None], y3, y1r[:, :])
+        zo[:, :] = jnp.where(m[None], z3, z1r[:, :])
+
+    call, spec, lane_spec = _grid_call(kernel, 7, 3, B)
+    sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
+    return call(
+        out_shape=(sh, sh, sh),
+        in_specs=[_NC_SPEC] + [spec] * 6 + [lane_spec],
+        out_specs=(spec, spec, spec),
+    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2, sel)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def ec_add_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
+    """Complete Jacobian addition over (16, B) limb-major points."""
+    B = x1.shape[1]
+    _, n0inv = _consts(field)
+    if not _use_pallas():
+        nc = jnp.asarray(_n_col_host(field))
+        return _ec_add_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
+
+    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+        x3, y3, z3 = _ec_add_core(
+            x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
+            nc_ref[:, :], n0inv,
+        )
+        xo[:, :] = x3
+        yo[:, :] = y3
+        zo[:, :] = z3
+
+    call, spec, _ = _grid_call(kernel, 6, 3, B)
+    sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
+    return call(
+        out_shape=(sh, sh, sh),
+        in_specs=[_NC_SPEC] + [spec] * 6,
+        out_specs=(spec, spec, spec),
+    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)

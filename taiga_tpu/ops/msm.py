@@ -1,4 +1,4 @@
-"""Pippenger multi-scalar multiplication as a batched TPU kernel.
+"""Pippenger multi-scalar multiplication on fused Pallas kernels.
 
 MSM(points, scalars) = sum_i [s_i] P_i — the prover's dominant EC cost
 (polynomial commitments over Vesta; delta commitments over Pallas).
@@ -7,19 +7,18 @@ TPU-native bucket method (no data-dependent control flow, SURVEY.md §7):
   * scalars arrive as (N, 16) plain 16-bit limb tensors; window width c
     divides 16 so window digits are bit-slices of the limbs;
   * per window (lax.scan over the 256/c windows):
-      - argsort the digits, gather points into sorted order;
-      - segmented Hillis-Steele suffix reduction over lanes (lax.fori_loop of
-        log2 N rounds of complete Jacobian adds, masked on equal digits and
-        no-wraparound) — each digit-run head then holds its bucket sum;
+      - argsort the digits, gather points into sorted order, transpose to
+        the limb-major (16, N) layout;
+      - segmented Hillis-Steele suffix reduction: log2(N) rounds of ONE
+        fused complete-add+select Pallas kernel (ops/ff_kernels.py) — the
+        whole 25-mul Jacobian formula stays in VMEM per block;
       - bucket extraction via searchsorted (2^c lanes);
-      - weighted sum  sum_j j*B_j  via the bit-decomposition of j: the c
-        bit-masked copies reduce in ONE fori tree over a (c, 2^c) lane array,
-        then a Horner double-and-add combines the bits;
-  * window results combine with a c-doubling Horner chain (lax.scan).
+      - weighted sum sum_j j*B_j via the bit decomposition of j: a (c, 2^c)
+        lane array reduces in c fused-kernel rounds, then a tiny Horner
+        double-and-add combines the bits;
+  * window results combine with a c-doubling Horner chain.
 
-All loops are lax control flow: the compiled graph stays small (the earlier
-fully-unrolled formulation produced >100k-op graphs that took minutes to
-compile). Differentially tested against host scalar-mul sums (tests/test_ec.py).
+Differentially tested against host scalar-mul sums (tests/test_ec.py).
 """
 
 from __future__ import annotations
@@ -31,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ec
+from . import ff_kernels as FK
 from . import limbs as L
 
 WINDOW_BITS = 8
@@ -53,55 +53,94 @@ def _digits_all(scalar_limbs, c: int):
     return jnp.stack(rows)
 
 
-def _roll_pts(pts, shift, axis):
-    return tuple(jnp.roll(t, shift, axis=axis) for t in pts)
+_CHUNK = 64  # in-chunk reduction span before compaction
+_COMPACT = 1024  # compacted lane count (>= n/_CHUNK-partials + 2^c runs)
 
 
-def _window_reduce(pts_sorted, d, spec, c: int, n: int):
-    """Bucket-accumulate one window; returns the window's partial sum point."""
-    x, y, z = pts_sorted
-    # digit 0 contributes nothing: mask those lanes to identity
-    z = jnp.where((d == 0)[..., None], jnp.zeros_like(z), z)
+def _seg_rounds(x, y, z, d, n, rounds, field):
+    """Segmented Hillis-Steele suffix reduction: after round r, lane i holds
+    the sum of its run's elements in [i, i + 2^(r+1))."""
     idx = jnp.arange(n)
+    for r in range(rounds):
+        s = 1 << r
+        nx = jnp.roll(x, -s, axis=1)
+        ny = jnp.roll(y, -s, axis=1)
+        nz = jnp.roll(z, -s, axis=1)
+        same = ((idx + s < n) & (d == jnp.roll(d, -s))).astype(jnp.uint32)
+        x, y, z = FK.ec_add_select_lm(x, y, z, nx, ny, nz, same[None, :], field)
+    return x, y, z
+
+
+def _window_reduce(pts_lm, d, field: str, c: int, n: int):
+    """Bucket-accumulate one window from limb-major sorted points; returns
+    the window's partial sum as a (3, 16) row-major Jacobian point.
+
+    Work reduction: the digits are SORTED, so there are at most 2^c runs.
+    After log2(CHUNK) full-width rounds every run is reduced to partials at
+    stride CHUNK from its start — at most n/CHUNK + 2^c lanes — which are
+    compacted (static-size nonzero) and finished at 1/32 the width. Total
+    work ~6n complete adds per window instead of n*log2(n)."""
+    x, y, z = pts_lm
+    z = jnp.where((d == 0)[None, :], jnp.uint32(0), z)
+    nbuckets = 1 << c
     logn = max(1, n.bit_length() - 1)
 
-    def seg_body(r, pts):
-        s = 1 << r
-        neighbor = _roll_pts(pts, -s, 0)
-        same = (idx + s < n) & (d == jnp.roll(d, -s))
-        added = ec.ec_add(pts, neighbor, spec)
-        return ec.ec_select(same, added, pts)
-
-    x, y, z = jax.lax.fori_loop(0, logn, lambda r, p: seg_body(r, p), (x, y, z))
-
-    # bucket heads: first occurrence of each digit value
-    nbuckets = 1 << c
+    if n <= 2 * _COMPACT:
+        x, y, z = _seg_rounds(x, y, z, d, n, logn, field)
+    else:
+        chunk_rounds = _CHUNK.bit_length() - 1  # 6
+        x, y, z = _seg_rounds(x, y, z, d, n, chunk_rounds, field)
+        # partial positions: run starts and stride-CHUNK offsets within runs
+        idx = jnp.arange(n)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), d[1:] != d[:-1]]
+        )
+        start_idx = jnp.where(is_start, idx, -1)
+        seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+        mask = ((idx - seg_start) % _CHUNK) == 0
+        pos = jnp.nonzero(mask, size=_COMPACT, fill_value=n)[0]
+        valid = pos < n
+        posc = jnp.clip(pos, 0, n - 1)
+        cd = jnp.where(valid, jnp.take(d, posc), nbuckets)
+        x = jnp.take(x, posc, axis=1)
+        y = jnp.take(y, posc, axis=1)
+        z = jnp.where(valid[None, :], jnp.take(z, posc, axis=1), jnp.uint32(0))
+        d = cd
+        n = _COMPACT
+        x, y, z = _seg_rounds(x, y, z, d, n, _COMPACT.bit_length() - 1, field)
     targets = jnp.arange(nbuckets, dtype=d.dtype)
     pos = jnp.clip(jnp.searchsorted(d, targets), 0, n - 1)
     present = jnp.take(d, pos) == targets
-    bx = jnp.take(x, pos, axis=0)
-    by = jnp.take(y, pos, axis=0)
-    bz = jnp.where(present[..., None], jnp.take(z, pos, axis=0), 0)
+    bx = jnp.take(x, pos, axis=1)
+    by = jnp.take(y, pos, axis=1)
+    bz = jnp.where(present[None, :], jnp.take(z, pos, axis=1), jnp.uint32(0))
 
-    # weighted sum over buckets: sum_j j * B_j via bits of j, one fused tree
+    # weighted sum over buckets via bits of the index: (16, c*2^c) lanes
     bit_masks = ((targets[None, :] >> jnp.arange(c)[:, None]) & 1) > 0  # (c, 2^c)
-    tx = jnp.broadcast_to(bx[None], (c,) + bx.shape)
-    ty = jnp.broadcast_to(by[None], (c,) + by.shape)
-    tz = jnp.where(bit_masks[..., None], bz[None], 0)
+    tx = jnp.broadcast_to(bx[:, None, :], (16, c, nbuckets)).reshape(16, c * nbuckets)
+    ty = jnp.broadcast_to(by[:, None, :], (16, c, nbuckets)).reshape(16, c * nbuckets)
+    tz = jnp.where(
+        bit_masks.reshape(1, c * nbuckets), bz[:, None, :].repeat(c, 1).reshape(16, c * nbuckets),
+        jnp.uint32(0),
+    )
 
-    def tree_body(r, pts):
+    rounds = (nbuckets - 1).bit_length()
+    for r in range(rounds):
         s = 1 << r
-        neighbor = _roll_pts(pts, -s, 1)
-        return ec.ec_add(pts, neighbor, spec)
+        nx = jnp.roll(tx.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
+        ny = jnp.roll(ty.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
+        nz = jnp.roll(tz.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
+        tx, ty, tz = FK.ec_add_lm(tx, ty, tz, nx, ny, nz, field=field)
 
-    tx, ty, tz = jax.lax.fori_loop(0, c, tree_body, (tx, ty, tz))
-    # lane 0 of each bit row now holds S_t = sum of buckets with bit t set
-    s_t = (tx[:, 0], ty[:, 0], tz[:, 0])  # (c, 16) each
-
-    # Horner over bits: acc = sum 2^t S_t (rolled: one double+add body —
-    # unrolling c copies of the EC formulas made the HLO graph huge and
-    # CPU-backend compiles took >10 min)
-    acc0 = (s_t[0][c - 1], s_t[1][c - 1], s_t[2][c - 1])
+    # lane 0 of each bit row holds S_t; tiny row-major Horner over bits
+    sel = jnp.arange(c) * nbuckets
+    s_t = (
+        jnp.take(tx, sel, axis=1).T,  # (c, 16) row-major
+        jnp.take(ty, sel, axis=1).T,
+        jnp.take(tz, sel, axis=1).T,
+    )
+    spec = L.FP if field == "fp" else L.FQ
+    acc = (s_t[0][c - 1], s_t[1][c - 1], s_t[2][c - 1])
 
     def horner_bit(i, acc):
         t = c - 2 - i
@@ -109,7 +148,8 @@ def _window_reduce(pts_sorted, d, spec, c: int, n: int):
         st = tuple(jax.lax.dynamic_index_in_dim(v, t, keepdims=False) for v in s_t)
         return ec.ec_add(acc, st, spec)
 
-    return jax.lax.fori_loop(0, c - 1, horner_bit, acc0)
+    acc = jax.lax.fori_loop(0, c - 1, horner_bit, acc)
+    return jnp.stack(acc)
 
 
 @partial(jax.jit, static_argnames=("field", "c"))
@@ -127,12 +167,12 @@ def msm(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS):
         order = jnp.argsort(digits_row)
         d = jnp.take(digits_row, order)
         pts = (
-            jnp.take(px, order, axis=0),
-            jnp.take(py, order, axis=0),
-            jnp.take(pz, order, axis=0),
+            jnp.take(px, order, axis=0).T,
+            jnp.take(py, order, axis=0).T,
+            jnp.take(pz, order, axis=0).T,
         )
-        w = _window_reduce(pts, d, spec, c, n)
-        return None, jnp.stack(w)
+        w = _window_reduce(pts, d, field, c, n)
+        return None, w
 
     _, ws = jax.lax.scan(window_body, None, digits)  # (n_win, 3, 16)
 
