@@ -129,6 +129,46 @@ def _is_zero(a):
     return jnp.all(a == 0, axis=0)
 
 
+def _mul15(t, n_col):
+    """15*t via 16t - t (4 doublings + a subtract) — b3 = 3b = 15 for both
+    Pasta curves (b = 5)."""
+    d = _madd(t, t, n_col)
+    d = _madd(d, d, n_col)
+    d = _madd(d, d, n_col)
+    d = _madd(d, d, n_col)
+    return _msub(d, t, n_col)
+
+
+def _ec_add_proj_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
+    """Complete homogeneous-projective addition for a = 0, b3 = 15
+    (Renes-Costello-Batina 2015, Algorithm 7). Handles identity (0:1:0) and
+    doubling with NO case analysis — 12 muls + 2 cheap b3 scalings."""
+    mm = lambda a, b: _mm(a, b, n_col, n0inv)
+    add = lambda a, b: _madd(a, b, n_col)
+    sub = lambda a, b: _msub(a, b, n_col)
+
+    t0 = mm(x1, x2)
+    t1 = mm(y1, y2)
+    t2 = mm(z1, z2)
+    t3 = mm(add(x1, y1), add(x2, y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mm(add(y1, z1), add(y2, z2))
+    t4 = sub(t4, add(t1, t2))
+    x3 = mm(add(x1, z1), add(x2, z2))
+    y3 = sub(x3, add(t0, t2))
+    x3 = add(t0, t0)
+    t0 = add(x3, t0)
+    t2 = _mul15(t2, n_col)
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = _mul15(y3, n_col)
+    x3 = sub(mm(t3, t1), mm(t4, y3))
+    y3 = add(mm(y3, t0), mm(t1, z3))
+    t0 = mm(t0, t3)
+    z3 = add(mm(z3, t4), t0)
+    return x3, y3, z3
+
+
 def _ec_add_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
     """Complete Jacobian addition (compute-both-and-select), in-kernel."""
     mm = lambda a, b: _mm(a, b, n_col, n0inv)
@@ -285,3 +325,126 @@ def ec_add_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
         in_specs=[_NC_SPEC] + [spec] * 6,
         out_specs=(spec, spec, spec),
     )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def ec_add_proj_sel_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
+    """Projective (RCB complete) add with lane select: sel ? P1+P2 : P1.
+    Identity encoding is (0 : 1 : 0) — callers must normalize."""
+    B = x1.shape[1]
+    _, n0inv = _consts(field)
+    if not _use_pallas():
+        nc = jnp.asarray(_n_col_host(field))
+        x3, y3, z3 = _ec_add_proj_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
+        m = sel[0, :] > 0
+        return (
+            jnp.where(m[None], x3, x1),
+            jnp.where(m[None], y3, y1),
+            jnp.where(m[None], z3, z1),
+        )
+
+    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
+        x3, y3, z3 = _ec_add_proj_core(
+            x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
+            nc_ref[:, :], n0inv,
+        )
+        m = sr[0, :] > 0
+        xo[:, :] = jnp.where(m[None], x3, x1r[:, :])
+        yo[:, :] = jnp.where(m[None], y3, y1r[:, :])
+        zo[:, :] = jnp.where(m[None], z3, z1r[:, :])
+
+    call, spec, lane_spec = _grid_call(kernel, 7, 3, B)
+    sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
+    return call(
+        out_shape=(sh, sh, sh),
+        in_specs=[_NC_SPEC] + [spec] * 6 + [lane_spec],
+        out_specs=(spec, spec, spec),
+    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2, sel)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def ec_add_proj_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
+    """Projective (RCB complete) addition over (16, B) limb-major points."""
+    B = x1.shape[1]
+    _, n0inv = _consts(field)
+    if not _use_pallas():
+        nc = jnp.asarray(_n_col_host(field))
+        return _ec_add_proj_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
+
+    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+        x3, y3, z3 = _ec_add_proj_core(
+            x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
+            nc_ref[:, :], n0inv,
+        )
+        xo[:, :] = x3
+        yo[:, :] = y3
+        zo[:, :] = z3
+
+    call, spec, _ = _grid_call(kernel, 6, 3, B)
+    sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
+    return call(
+        out_shape=(sh, sh, sh),
+        in_specs=[_NC_SPEC] + [spec] * 6,
+        out_specs=(spec, spec, spec),
+    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)
+
+
+@partial(jax.jit, static_argnames=("field",))
+def ec_fold_shared_lm(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
+                      field: str = "fq"):
+    """IPA generator fold: G' = G_lo + [s] G_hi with ONE shared 255-bit
+    scalar, fully inside one kernel (projective RCB adds; identity = (0:1:0)).
+    scalar_limbs: (1, 16) plain 16-bit limbs. Points are PROJECTIVE."""
+    B = gx_lo.shape[1]
+    n_list, n0inv = _consts(field)
+    spec = L.FP if field == "fp" else L.FQ
+
+    def body(x_lo, y_lo, z_lo, x_hi, y_hi, z_hi, s_row, nc, one_col):
+        accx = jnp.zeros_like(x_lo)
+        accy = jnp.broadcast_to(one_col, x_lo.shape)
+        accz = jnp.zeros_like(z_lo)
+
+        def step(i, st):
+            ax, ay, az, bx, by, bz = st
+            limb = s_row[0, i // 16]
+            bit = (limb >> (i % 16)) & 1
+            nx, ny, nz = _ec_add_proj_core(ax, ay, az, bx, by, bz, nc, n0inv)
+            keep = (bit > 0)
+            ax = jnp.where(keep, nx, ax)
+            ay = jnp.where(keep, ny, ay)
+            az = jnp.where(keep, nz, az)
+            bx, by, bz = _ec_add_proj_core(bx, by, bz, bx, by, bz, nc, n0inv)
+            return ax, ay, az, bx, by, bz
+
+        accx, accy, accz, _, _, _ = jax.lax.fori_loop(
+            0, 255, step, (accx, accy, accz, x_hi, y_hi, z_hi)
+        )
+        return _ec_add_proj_core(x_lo, y_lo, z_lo, accx, accy, accz, nc, n0inv)
+
+    one_host = jnp.asarray(np.asarray(spec.one_mont, np.uint32).reshape(NLIMBS, 1))
+    if not _use_pallas() or B < 128:
+        nc = jnp.asarray(_n_col_host(field))
+        return body(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs, nc,
+                    one_host)
+
+    def kernel(nc_ref, one_ref, xl, yl, zl, xh, yh, zh, sr, xo, yo, zo):
+        x3, y3, z3 = body(
+            xl[:, :], yl[:, :], zl[:, :], xh[:, :], yh[:, :], zh[:, :],
+            sr[:, :], nc_ref[:, :], one_ref[:, :],
+        )
+        xo[:, :] = x3
+        yo[:, :] = y3
+        zo[:, :] = z3
+
+    bt = min(BT, B)
+    spec_b = pl.BlockSpec((NLIMBS, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        out_shape=(sh, sh, sh),
+        in_specs=[_NC_SPEC, _NC_SPEC] + [spec_b] * 6 + [s_spec],
+        out_specs=(spec_b, spec_b, spec_b),
+    )(jnp.asarray(_n_col_host(field)), one_host, gx_lo, gy_lo, gz_lo,
+      gx_hi, gy_hi, gz_hi, scalar_limbs)

@@ -104,7 +104,9 @@ def _carry_prop_vec(t):
         s = v + carry
         return s >> W, s & MASK
 
-    carry, out = jax.lax.scan(step, jnp.zeros(t.shape[:-1], DTYPE), tt)
+    # zero carry derived from the input so shard_map varying axes propagate
+    carry0 = tt[0] ^ tt[0]
+    carry, out = jax.lax.scan(step, carry0, tt)
     return jnp.moveaxis(out, 0, -1), carry
 
 
@@ -121,9 +123,7 @@ def _sub_n_borrow(a, n_limbs):
         d = v - ni - borrow
         return (d >> 31) & 1, d & MASK
 
-    borrow, out = jax.lax.scan(
-        step, jnp.zeros(a.shape[:-1], DTYPE), (tt, n)
-    )
+    borrow, out = jax.lax.scan(step, tt[0] ^ tt[0], (tt, n))
     return jnp.moveaxis(out, 0, -1), borrow
 
 
@@ -162,7 +162,7 @@ def sub(a, b, spec: FieldSpec):
         d = va - vb - borrow
         return (d >> 31) & 1, d & MASK
 
-    borrow, out = jax.lax.scan(step, jnp.zeros(aa.shape[:-1], DTYPE), (ta, tb))
+    borrow, out = jax.lax.scan(step, (ta[0] ^ tb[0]) & jnp.uint32(0), (ta, tb))
     diff = jnp.moveaxis(out, 0, -1)
     n = jnp.asarray(spec.n_limbs, DTYPE)
     fixed, _ = _carry_prop_vec(

@@ -57,18 +57,37 @@ _CHUNK = 64  # in-chunk reduction span before compaction
 _COMPACT = 1024  # compacted lane count (>= n/_CHUNK-partials + 2^c runs)
 
 
+def _one_mont_col(field):
+    spec = L.FP if field == "fp" else L.FQ
+    return jnp.asarray(spec.one_mont)[:, None]  # (16, 1)
+
+
+def _mask_identity(x, y, z, keep, field):
+    """Lanes where keep is False become the projective identity (0:1:0)."""
+    one = _one_mont_col(field)
+    x = jnp.where(keep[None, :], x, jnp.uint32(0))
+    y = jnp.where(keep[None, :], y, one)
+    z = jnp.where(keep[None, :], z, jnp.uint32(0))
+    return x, y, z
+
+
 def _seg_rounds(x, y, z, d, n, rounds, field):
     """Segmented Hillis-Steele suffix reduction: after round r, lane i holds
-    the sum of its run's elements in [i, i + 2^(r+1))."""
+    the sum of its run's elements in [i, i + 2^(r+1)). The round loop is a
+    fori_loop with a dynamic roll distance so the (large) fused-add graph is
+    instantiated once, not per round."""
     idx = jnp.arange(n)
-    for r in range(rounds):
-        s = 1 << r
+
+    def body(r, pts):
+        x, y, z = pts
+        s = jnp.int32(1) << r
         nx = jnp.roll(x, -s, axis=1)
         ny = jnp.roll(y, -s, axis=1)
         nz = jnp.roll(z, -s, axis=1)
         same = ((idx + s < n) & (d == jnp.roll(d, -s))).astype(jnp.uint32)
-        x, y, z = FK.ec_add_select_lm(x, y, z, nx, ny, nz, same[None, :], field)
-    return x, y, z
+        return FK.ec_add_proj_sel_lm(x, y, z, nx, ny, nz, same[None, :], field)
+
+    return jax.lax.fori_loop(0, rounds, body, (x, y, z))
 
 
 def _window_reduce(pts_lm, d, field: str, c: int, n: int):
@@ -81,7 +100,7 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
     compacted (static-size nonzero) and finished at 1/32 the width. Total
     work ~6n complete adds per window instead of n*log2(n)."""
     x, y, z = pts_lm
-    z = jnp.where((d == 0)[None, :], jnp.uint32(0), z)
+    x, y, z = _mask_identity(x, y, z, d != 0, field)
     nbuckets = 1 << c
     logn = max(1, n.bit_length() - 1)
 
@@ -104,7 +123,8 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
         cd = jnp.where(valid, jnp.take(d, posc), nbuckets)
         x = jnp.take(x, posc, axis=1)
         y = jnp.take(y, posc, axis=1)
-        z = jnp.where(valid[None, :], jnp.take(z, posc, axis=1), jnp.uint32(0))
+        z = jnp.take(z, posc, axis=1)
+        x, y, z = _mask_identity(x, y, z, valid, field)
         d = cd
         n = _COMPACT
         x, y, z = _seg_rounds(x, y, z, d, n, _COMPACT.bit_length() - 1, field)
@@ -113,80 +133,106 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
     present = jnp.take(d, pos) == targets
     bx = jnp.take(x, pos, axis=1)
     by = jnp.take(y, pos, axis=1)
-    bz = jnp.where(present[None, :], jnp.take(z, pos, axis=1), jnp.uint32(0))
+    bz = jnp.take(z, pos, axis=1)
+    bx, by, bz = _mask_identity(bx, by, bz, present, field)
 
     # weighted sum over buckets via bits of the index: (16, c*2^c) lanes
     bit_masks = ((targets[None, :] >> jnp.arange(c)[:, None]) & 1) > 0  # (c, 2^c)
     tx = jnp.broadcast_to(bx[:, None, :], (16, c, nbuckets)).reshape(16, c * nbuckets)
     ty = jnp.broadcast_to(by[:, None, :], (16, c, nbuckets)).reshape(16, c * nbuckets)
-    tz = jnp.where(
-        bit_masks.reshape(1, c * nbuckets), bz[:, None, :].repeat(c, 1).reshape(16, c * nbuckets),
-        jnp.uint32(0),
-    )
+    tz = jnp.broadcast_to(bz[:, None, :], (16, c, nbuckets)).reshape(16, c * nbuckets)
+    tx, ty, tz = _mask_identity(tx, ty, tz, jnp.broadcast_to(bit_masks.reshape(c * nbuckets), (c * nbuckets,)), field)
 
-    rounds = (nbuckets - 1).bit_length()
-    for r in range(rounds):
-        s = 1 << r
+    def tree_body(r, pts):
+        tx, ty, tz = pts
+        s = jnp.int32(1) << r
         nx = jnp.roll(tx.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
         ny = jnp.roll(ty.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
         nz = jnp.roll(tz.reshape(16, c, nbuckets), -s, axis=2).reshape(16, c * nbuckets)
-        tx, ty, tz = FK.ec_add_lm(tx, ty, tz, nx, ny, nz, field=field)
+        return FK.ec_add_proj_lm(tx, ty, tz, nx, ny, nz, field=field)
 
-    # lane 0 of each bit row holds S_t; tiny row-major Horner over bits
+    rounds = (nbuckets - 1).bit_length()
+    tx, ty, tz = jax.lax.fori_loop(0, rounds, tree_body, (tx, ty, tz))
+
+    # lane 0 of each bit row holds S_t = sum of buckets with bit t set;
+    # Horner over bits on single-lane projective points (RCB add doubles too)
     sel = jnp.arange(c) * nbuckets
     s_t = (
-        jnp.take(tx, sel, axis=1).T,  # (c, 16) row-major
-        jnp.take(ty, sel, axis=1).T,
-        jnp.take(tz, sel, axis=1).T,
+        jnp.take(tx, sel, axis=1),  # (16, c)
+        jnp.take(ty, sel, axis=1),
+        jnp.take(tz, sel, axis=1),
     )
-    spec = L.FP if field == "fp" else L.FQ
-    acc = (s_t[0][c - 1], s_t[1][c - 1], s_t[2][c - 1])
+    acc = tuple(v[:, c - 1 : c] for v in s_t)
 
     def horner_bit(i, acc):
         t = c - 2 - i
-        acc = ec.ec_double(acc, spec)
-        st = tuple(jax.lax.dynamic_index_in_dim(v, t, keepdims=False) for v in s_t)
-        return ec.ec_add(acc, st, spec)
+        acc = FK.ec_add_proj_lm(*acc, *acc, field=field)  # double
+        st = tuple(jax.lax.dynamic_slice_in_dim(v, t, 1, axis=1) for v in s_t)
+        return FK.ec_add_proj_lm(*acc, *st, field=field)
 
     acc = jax.lax.fori_loop(0, c - 1, horner_bit, acc)
-    return jnp.stack(acc)
+    return jnp.stack([v[:, 0] for v in acc])  # (3, 16) projective, limb rows
 
 
-@partial(jax.jit, static_argnames=("field", "c"))
-def msm(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS):
-    """MSM over a batch of Jacobian points ((N,16) x3, Montgomery limbs) and
+@partial(jax.jit, static_argnames=("field", "c", "in_form"))
+def msm(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS,
+        in_form: str = "jacobian"):
+    """MSM over a batch of points ((N,16) x3, Montgomery limbs) and
     plain-form scalar limbs (N, 16). Returns a single Jacobian point (3, 16).
 
     field: coordinate field of the curve ("fq" for Vesta, "fp" for Pallas).
+    in_form: "jacobian" (default; converted internally) or "projective"
+    (limb-major (16, N) homogeneous coordinates, identities = (0:1:0)).
     """
     spec = L.FP if field == "fp" else L.FQ
-    n = px.shape[0]
+    if in_form == "projective":
+        ppx, ppy, ppz = px, py, pz
+        n = px.shape[1]
+    else:
+        n = px.shape[0]
+        # Jacobian (X, Y, Z) -> homogeneous projective (X*Z : Y : Z^3), with
+        # Z = 0 identities normalized to (0 : 1 : 0). Affine inputs (Z = 1)
+        # pass through unchanged.
+        z2 = L.mont_mul(pz, pz, spec)
+        ppx = L.mont_mul(px, pz, spec).T
+        ppy = py.T
+        ppz = L.mont_mul(z2, pz, spec).T
+        finite = ~L.is_zero(pz)
+        ppx, ppy, ppz = _mask_identity(ppx, ppy, ppz, finite, field)
     digits = _digits_all(scalar_limbs, c)  # (n_win, N)
 
     def window_body(_, digits_row):
         order = jnp.argsort(digits_row)
         d = jnp.take(digits_row, order)
         pts = (
-            jnp.take(px, order, axis=0).T,
-            jnp.take(py, order, axis=0).T,
-            jnp.take(pz, order, axis=0).T,
+            jnp.take(ppx, order, axis=1),
+            jnp.take(ppy, order, axis=1),
+            jnp.take(ppz, order, axis=1),
         )
         w = _window_reduce(pts, d, field, c, n)
         return None, w
 
-    _, ws = jax.lax.scan(window_body, None, digits)  # (n_win, 3, 16)
+    _, ws = jax.lax.scan(window_body, None, digits)  # (n_win, 3, 16) projective
 
-    # Horner combine across windows (most significant first)
-    acc = (ws[-1, 0], ws[-1, 1], ws[-1, 2])
+    # Horner combine across windows (most significant first), projective
     n_win = digits.shape[0]
+    acc = tuple(ws[-1, i][:, None] for i in range(3))  # (16, 1) each
 
     def horner_body(carry, w_row):
-        a = jax.lax.fori_loop(0, c, lambda _, p: ec.ec_double(p, spec), carry)
-        a = ec.ec_add(a, (w_row[0], w_row[1], w_row[2]), spec)
+        a = jax.lax.fori_loop(
+            0, c, lambda _, p: FK.ec_add_proj_lm(*p, *p, field=field), carry
+        )
+        a = FK.ec_add_proj_lm(*a, *(w_row[i][:, None] for i in range(3)), field=field)
         return a, None
 
     acc, _ = jax.lax.scan(horner_body, acc, ws[: n_win - 1][::-1])
-    return jnp.stack(acc)
+    X, Y, Z = (v[:, 0][None, :] for v in acc)  # (1, 16) row-major
+
+    # projective (X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z)
+    xz = L.mont_mul(X, Z, spec)
+    z2o = L.mont_mul(Z, Z, spec)
+    yz2 = L.mont_mul(Y, z2o, spec)
+    return jnp.stack([xz[0], yz2[0], Z[0]])
 
 
 def msm_host(points, scalars):

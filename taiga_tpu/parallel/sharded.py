@@ -68,9 +68,71 @@ def batch_hash_step(mesh: Mesh, messages):
     return fn(messages)
 
 
-def prove_step(mesh: Mesh, messages, px, py, pz, scalar_limbs, field: str = "fq"):
-    """One combined multi-chip proving step (witness hashing + sharded
-    commitment MSM) — the unit the multi-chip dryrun compiles and runs."""
+def sharded_point_sum(mesh: Mesh, px, py, pz, field: str = "fq"):
+    """Sum a sharded batch of points: each device tree-reduces its local
+    shard with the fused projective-add kernel, partial sums are
+    all-gathered (3x16 limbs — tiny, rides ICI) and folded. The reduction
+    skeleton of the sharded Pippenger MSM (per-device bucket accumulation +
+    psum-style bucket fold), in a compile-light form for the dryrun."""
+    from ..ops import ff_kernels as FK
+
+    spec = L.FP if field == "fp" else L.FQ
+
+    def local(pxs, pys, pzs):
+        # (local_n, 16) row-major affine/Jacobian -> limb-major projective
+        z2 = L.mont_mul(pzs, pzs, spec)
+        x = L.mont_mul(pxs, pzs, spec).T
+        y = pys.T
+        z = L.mont_mul(z2, pzs, spec).T
+        m = jnp.broadcast_to(jnp.asarray(spec.one_mont, jnp.uint32)[:, None], y.shape)
+        inf = L.is_zero(pzs)
+        x = jnp.where(inf[None, :], jnp.uint32(0), x)
+        y = jnp.where(inf[None, :], m, y)
+        z = jnp.where(inf[None, :], jnp.uint32(0), z)
+        ln = x.shape[1]
+
+        def body(r, pts):
+            a, b, cz = pts
+            s = jnp.int32(1) << r
+            return FK.ec_add_proj_sel_lm(
+                a, b, cz,
+                jnp.roll(a, -s, axis=1), jnp.roll(b, -s, axis=1),
+                jnp.roll(cz, -s, axis=1),
+                ((jnp.arange(ln) + s) < ln).astype(jnp.uint32)[None, :],
+                field,
+            )
+
+        x, y, z = jax.lax.fori_loop(0, ln.bit_length() - 1, body, (x, y, z))
+        part = jnp.stack([x[:, 0], y[:, 0], z[:, 0]])  # (3, 16) projective
+        parts = jax.lax.all_gather(part, AXIS)  # (n_dev, 3, 16)
+        # fold the gathered partials (projective adds on single lanes)
+        acc = tuple(parts[0, i][:, None] for i in range(3))
+        n_dev = parts.shape[0]
+
+        def fold(i, acc):
+            q = tuple(parts[i, j][:, None] for j in range(3))
+            return FK.ec_add_proj_lm(*acc, *q, field=field)
+
+        acc = jax.lax.fori_loop(1, n_dev, fold, acc)
+        # projective -> Jacobian (X*Z, Y*Z^2, Z)
+        X, Y, Z = (v[:, 0][None, :] for v in acc)
+        xz = L.mont_mul(X, Z, spec)
+        yz2 = L.mont_mul(Y, L.mont_mul(Z, Z, spec), spec)
+        return jnp.stack([xz[0], yz2[0], Z[0]])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(Pspec(AXIS), Pspec(AXIS), Pspec(AXIS)),
+        out_specs=Pspec(),
+        check_vma=False,  # result is replicated by construction (post-gather)
+    )
+    return fn(px, py, pz)
+
+
+def prove_step(mesh: Mesh, messages, px, py, pz, field: str = "fq"):
+    """One combined multi-chip proving step (data-parallel witness hashing +
+    a sharded commitment-reduction round) — the unit the multi-chip dryrun
+    compiles and runs with real dp/sp shardings over the mesh."""
     hashes = batch_hash_step(mesh, messages)
-    commitment = sharded_msm(mesh, px, py, pz, scalar_limbs, field=field, c=4)
+    commitment = sharded_point_sum(mesh, px, py, pz, field=field)
     return hashes, commitment

@@ -87,38 +87,46 @@ def ipa_open_device(params: Params, coeffs_mont, blind: int, x: int,
     z = transcript.challenge(b"ipa-z").v
     u_prime = params.u * z
 
-    # 3. rounds. To bound the number of compiled shapes, rounds below the
-    # bucket size run padded to the bucket (zero scalars / identity points
-    # contribute nothing): only ~3 MSM/fold shapes compile per k.
-    bucket = max(n // 4, 16)
+    # 3. rounds, on limb-major PROJECTIVE generators (the SRS is affine, so
+    # the initial coordinates coincide). To bound the number of compiled MSM
+    # shapes, rounds below n//16 run padded (identity points + zero scalars
+    # contribute nothing): ~3-4 shapes compile per domain size.
     b = poly.powers(mont(x), n, "fp")
-    g_dev = tuple(map(jnp.asarray, srs_device(params.k)))
+    g_dev = tuple(jnp.asarray(t_).T for t_ in srs_device(params.k))  # (16, n)
+    buckets = sorted({max(n // 2, 1), max(n // 4, 1), max(n // 16, 16)}, reverse=True)
+
+    def bucket_of(sz):
+        for bk in buckets:
+            if sz >= bk:
+                return bk
+        return buckets[-1]
+
     f = blind
     for _ in range(k):
         half = a.shape[0] // 2
         a_lo, a_hi = a[:half], a[half:]
         b_lo, b_hi = b[:half], b[half:]
-        g_lo = tuple(t_[:half] for t_ in g_dev)
-        g_hi = tuple(t_[half:] for t_ in g_dev)
+        g_lo = tuple(t_[:, :half] for t_ in g_dev)
+        g_hi = tuple(t_[:, half:] for t_ in g_dev)
         lb, rb = _rand(), _rand()
         ips = np.asarray(jax.device_get(_ipa_dots(a_lo, a_hi, b_lo, b_hi)))
         ip_l = L.limbs_to_int(ips[0])
         ip_r = L.limbs_to_int(ips[1])
-        pad = max(0, bucket - half)
-        l_pt = _msm_mont(_pad_pts(g_lo, pad), _pad_rows(a_hi, pad)) \
+        pad = max(0, bucket_of(half) - half)
+        l_pt = _msm_proj(_pad_pts_lm(g_lo, pad), _pad_rows(a_hi, pad)) \
             + params.w * lb + u_prime * ip_l
-        r_pt = _msm_mont(_pad_pts(g_hi, pad), _pad_rows(a_lo, pad)) \
+        r_pt = _msm_proj(_pad_pts_lm(g_hi, pad), _pad_rows(a_lo, pad)) \
             + params.w * rb + u_prime * ip_r
         transcript.write_point(l_pt)
         transcript.write_point(r_pt)
         u = transcript.challenge(b"ipa-u").v
         u_inv = pow(u, -1, P)
         a, b = _ipa_fold_ab(a_lo, a_hi, b_lo, b_hi, mont(u), mont(u_inv))
-        gx, gy, gz = _ipa_fold_g(
-            _pad_pts(g_lo, pad), _pad_pts(g_hi, pad),
-            jnp.asarray(L.int_to_limbs(u_inv)),
+        from ..ops import ff_kernels as FK
+
+        g_dev = FK.ec_fold_shared_lm(
+            *g_lo, *g_hi, jnp.asarray(L.int_to_limbs(u_inv))[None, :], field="fq"
         )
-        g_dev = (gx[:half], gy[:half], gz[:half])
         f = (f + u * lb + u_inv * rb) % P
 
     a0 = L.FP.from_mont_host(np.asarray(jax.device_get(a[0])))
@@ -133,6 +141,27 @@ def _pad_rows(arr, pad: int):
 def _pad_pts(pts, pad: int):
     # Z = 0 encodes the identity, so zero-padding adds identity points
     return tuple(jnp.pad(t, [(0, pad), (0, 0)]) for t in pts) if pad else pts
+
+
+def _pad_pts_lm(pts, pad: int):
+    """Pad limb-major projective points with identities (0:1:0). The
+    coordinate field of Vesta points is Fq."""
+    if not pad:
+        return pts
+    x, y, z = pts
+    x = jnp.pad(x, [(0, 0), (0, pad)])
+    one = jnp.broadcast_to(jnp.asarray(L.FQ.one_mont)[:, None], (16, pad))
+    y = jnp.concatenate([y, one.astype(jnp.uint32)], axis=1)
+    z = jnp.pad(z, [(0, 0), (0, pad)])
+    return x, y, z
+
+
+def _msm_proj(g_lm, scalars_mont) -> VestaPoint:
+    """MSM over limb-major projective points with Montgomery scalars."""
+    plain = _from_mont(scalars_mont)
+    out = msm_mod.msm(g_lm[0], g_lm[1], g_lm[2], plain, field="fq",
+                      in_form="projective")
+    return ec.points_from_device((out[0][None], out[1][None], out[2][None]), VestaPoint)[0]
 
 
 @jax.jit
