@@ -18,10 +18,9 @@ In-circuit relations (see gadget docstrings for layouts):
   * output integrity (integrity.rs:193-325): nonce_out = nf; psi/rcm derived
     in-circuit; cm_out = Poseidon-8;
   * delta commitment (integrity.rs:546-630): [q_in]K_in - [q_out]K_out +
-    [rcv]R via in-circuit EC scalar muls. NOTE(v1): the kind points K are
-    witnessed and their Poseidon-to-field preimages constrained; the SWU/
-    isogeny map from u-values to the curve point is host-computed and not yet
-    constrained in-circuit (tracked: TODO(swu-gadget));
+    [rcv]R via in-circuit EC scalar muls, with the kind points derived
+    fully in-circuit (Poseidon-to-field + SWU + 3-isogeny,
+    circuits/hash_to_curve.py);
   * resource-logic commitments recomputed in-circuit with the Blake2s gadget
     (circuits/blake2s.py; compliance_circuit.rs:281-324).
 """
@@ -158,11 +157,13 @@ class ComplianceCircuit(Circuit):
         b.constrain_instance(cm_out, 2)
 
         # --- delta commitment ----------------------------------------
-        # kind points witnessed (TODO(swu-gadget): constrain u -> point map)
-        kind_in_pt = None if info is None else inp.get_kind()
-        kind_out_pt = None if info is None else out.get_kind()
-        kin = witness_point(b, kind_in_pt)
-        kout = witness_point(b, kind_out_pt)
+        # kind points derived fully in-circuit: Poseidon-to-field, SWU onto
+        # the iso curve, 3-isogeny map (circuits/hash_to_curve.py; reference
+        # integrity.rs:514-543)
+        from .hash_to_curve import derive_kind_gadget
+
+        kin = derive_kind_gadget(b, logic_in, label_in, one)
+        kout = derive_kind_gadget(b, logic_out, label_out, one)
         q_in_bits = G.decompose_bits(b, quantity_in, 64)
         q_out_bits = G.decompose_bits(b, quantity_out, 64)
         rcv_val = None if info is None else info.get_rcv().v

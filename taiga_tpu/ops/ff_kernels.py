@@ -406,7 +406,12 @@ def ec_fold_shared_lm(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
 
         def step(i, st):
             ax, ay, az, bx, by, bz = st
-            limb = s_row[0, i // 16]
+            # dynamic_slice is not lowerable in Mosaic: select the limb with
+            # 16 static comparisons instead
+            j = i // 16
+            limb = s_row[0, 0] * 0
+            for jj in range(16):
+                limb = jnp.where(j == jj, s_row[0, jj], limb)
             bit = (limb >> (i % 16)) & 1
             nx, ny, nz = _ec_add_proj_core(ax, ay, az, bx, by, bz, nc, n0inv)
             keep = (bit > 0)
