@@ -289,12 +289,14 @@ def consume_partial_fulfillment_intent_ptx(rng, swap: Swap, intent, offer: Token
     padding_logics = ResourceLogics.create_padding_resource_resource_logics(
         padding_input, tree.generate_path(nf_2)
     )
-    offer_logics = swap.sell.generate_output_token_resource_logics(
+    # the offer output is a BUY-token resource to the seller
+    from ..apps.token import TokenResource
+
+    offer_token = TokenResource(swap.buy.name, offer_resource)
+    offer_logics = offer_token.generate_output_token_resource_logics(
         rng, swap.auth, tree.generate_path(cm_1)
     )
     # the returned change resource is a token output back to the seller
-    from ..apps.token import TokenResource
-
     returned_token = TokenResource(swap.sell.token_name, returned_resource)
     returned_logics = returned_token.generate_output_token_resource_logics(
         rng, swap.auth, tree.generate_path(cm_2)

@@ -389,8 +389,56 @@ def ec_add_proj_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
     )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)
 
 
-@partial(jax.jit, static_argnames=("field",))
 def ec_fold_shared_lm(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
+                      field: str = "fq"):
+    """Dispatch wrapper: tiny folds on non-TPU backends run on host."""
+    B = gx_lo.shape[1]
+    if B <= 512 and jax.default_backend() != "tpu":
+        return _fold_on_host(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi,
+                             scalar_limbs, field)
+    return _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi,
+                               scalar_limbs, field=field)
+
+
+def _fold_on_host(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs, field):
+    from ..crypto.curves import PallasPoint, VestaPoint
+
+    curve = PallasPoint if field == "fp" else VestaPoint
+    F = curve.FIELD
+    spec = L.FP if field == "fp" else L.FQ
+
+    def decode(x, y, z):
+        xs = spec.array_from_mont(np.asarray(jax.device_get(x)).T)
+        ys = spec.array_from_mont(np.asarray(jax.device_get(y)).T)
+        zs = spec.array_from_mont(np.asarray(jax.device_get(z)).T)
+        pts = []
+        for X, Y, Z in zip(xs, ys, zs):
+            if Z == 0:
+                pts.append(curve.identity())
+            else:
+                zi = pow(Z, -1, F.MODULUS)
+                pts.append(curve(F(X * zi % F.MODULUS), F(Y * zi % F.MODULUS)))
+        return pts
+
+    lo = decode(gx_lo, gy_lo, gz_lo)
+    hi = decode(gx_hi, gy_hi, gz_hi)
+    s_int = L.limbs_to_int(np.asarray(jax.device_get(scalar_limbs)).reshape(16))
+    folded = [a + b * s_int for a, b in zip(lo, hi)]
+    xs, ys, zs = [], [], []
+    for p_ in folded:
+        if p_.is_identity():
+            xs.append(0); ys.append(1); zs.append(0)
+        else:
+            xs.append(p_.x.v); ys.append(p_.y.v); zs.append(1)
+    return (
+        jnp.asarray(np.asarray(spec.array_to_mont(xs)).T.copy()),
+        jnp.asarray(np.asarray(spec.array_to_mont(ys)).T.copy()),
+        jnp.asarray(np.asarray(spec.array_to_mont(zs)).T.copy()),
+    )
+
+
+@partial(jax.jit, static_argnames=("field",))
+def _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
                       field: str = "fq"):
     """IPA generator fold: G' = G_lo + [s] G_hi with ONE shared 255-bit
     scalar, fully inside one kernel (projective RCB adds; identity = (0:1:0)).

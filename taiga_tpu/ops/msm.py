@@ -174,8 +174,50 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
     return jnp.stack([v[:, 0] for v in acc])  # (3, 16) projective, limb rows
 
 
-@partial(jax.jit, static_argnames=("field", "c", "in_form"))
+_HOST_FALLBACK_N = 512
+
+
 def msm(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS,
+        in_form: str = "jacobian"):
+    """Dispatch wrapper: tiny MSMs on non-TPU backends run on host (the
+    XLA-CPU compile of the device graph costs minutes and is pure test
+    overhead); everything else takes the compiled device path."""
+    n = px.shape[1] if in_form == "projective" else px.shape[0]
+    if n <= _HOST_FALLBACK_N and jax.default_backend() != "tpu":
+        return _msm_on_host(px, py, pz, scalar_limbs, field, in_form)
+    return _msm_device(px, py, pz, scalar_limbs, field=field, c=c, in_form=in_form)
+
+
+def _msm_on_host(px, py, pz, scalar_limbs, field, in_form):
+    import numpy as np
+
+    from ..crypto.curves import PallasPoint, VestaPoint
+    from ..crypto.fields import Fp, Fq
+
+    curve = PallasPoint if field == "fp" else VestaPoint
+    F = curve.FIELD
+    spec = L.FP if field == "fp" else L.FQ
+    if in_form == "projective":
+        xs = spec.array_from_mont(np.asarray(jax.device_get(px)).T)
+        ys = spec.array_from_mont(np.asarray(jax.device_get(py)).T)
+        zs = spec.array_from_mont(np.asarray(jax.device_get(pz)).T)
+        pts = []
+        for X, Y, Z in zip(xs, ys, zs):
+            if Z == 0:
+                pts.append(curve.identity())
+            else:
+                zi = pow(Z, -1, F.MODULUS)
+                pts.append(curve(F(X * zi % F.MODULUS), F(Y * zi % F.MODULUS)))
+    else:
+        pts = ec.points_from_device((px, py, pz), curve)
+    scalars = [L.limbs_to_int(row) for row in np.asarray(jax.device_get(scalar_limbs))]
+    acc = msm_host(pts, scalars)
+    out = ec.points_to_device([acc])
+    return jnp.stack([jnp.asarray(out[0][0]), jnp.asarray(out[1][0]), jnp.asarray(out[2][0])])
+
+
+@partial(jax.jit, static_argnames=("field", "c", "in_form"))
+def _msm_device(px, py, pz, scalar_limbs, field: str = "fq", c: int = WINDOW_BITS,
         in_form: str = "jacobian"):
     """MSM over a batch of points ((N,16) x3, Montgomery limbs) and
     plain-form scalar limbs (N, 16). Returns a single Jacobian point (3, 16).
