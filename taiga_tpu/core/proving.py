@@ -44,16 +44,79 @@ def set_params_size(compliance: int | None = None, rl: int | None = None):
 _PK_CACHE: dict = {}
 _PK_LOCK = threading.Lock()
 
+# On-disk proving-key cache (the reference re-keygens per proof, ~4 s each,
+# constant.rs:6146; we keygen once per (circuit, k) per MACHINE). Pickled
+# fixed/sigma columns + commitments; ~40 MB per k=15 key.
+_PK_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(__file__)), "..", ".pk_cache"
+)
+
+
+def _pk_disk_path(key):
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(repr(key).encode(), digest_size=16).hexdigest()
+    return os.path.join(_PK_DIR, f"pk_{h}.pkl")
+
+
+def _pk_load(key):
+    import os
+    import pickle
+
+    path = _pk_disk_path(key)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        return None
+
+
+def _pk_store(key, pk):
+    import os
+    import pickle
+
+    try:
+        os.makedirs(_PK_DIR, exist_ok=True)
+        tmp = _pk_disk_path(key) + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(pk, f)
+        os.replace(tmp, _pk_disk_path(key))
+    except Exception:
+        pass
+
 
 def get_proving_key(circuit_cls, k: int):
-    """Cached keygen for a circuit class at domain size 2^k."""
-    key = (circuit_cls.__module__, circuit_cls.__qualname__, k)
+    """Cached keygen for a circuit class at domain size 2^k (memory + disk)."""
+    import inspect
+
+    # cache key includes a digest of the circuit-class source (and the shared
+    # gadget/gate modules) so editing a circuit invalidates its disk key
+    try:
+        import hashlib
+
+        from ..circuits import blake2s as _b2, gadgets as _gd
+
+        src = (
+            inspect.getsource(inspect.getmodule(circuit_cls))
+            + inspect.getsource(_gd)
+            + inspect.getsource(_b2)
+        )
+        digest = hashlib.blake2b(src.encode(), digest_size=8).hexdigest()
+    except Exception:
+        digest = "nosrc"
+    key = (circuit_cls.__module__, circuit_cls.__qualname__, k, digest)
     with _PK_LOCK:
         pk = _PK_CACHE.get(key)
     if pk is None:
-        from ..plonk.keygen import keygen
+        pk = _pk_load(key)
+        if pk is None:
+            from ..plonk.keygen import keygen
 
-        pk = keygen(circuit_cls(), k)
+            pk = keygen(circuit_cls(), k)
+            _pk_store(key, pk)
         with _PK_LOCK:
             _PK_CACHE[key] = pk
     return pk
