@@ -34,6 +34,7 @@ def mod_cumsum(a, field: str = "fp"):
     return jax.lax.associative_scan(lambda x, y: L.add(x, y, spec), a, axis=0)
 
 
+@partial(jax.jit, static_argnames=("n", "field"))
 def powers(x_mont, n: int, field: str = "fp"):
     """[1, x, x^2, ..., x^(n-1)] as (n, 16) Montgomery limbs."""
     spec = _spec(field)
@@ -90,6 +91,7 @@ def synthetic_div(coeffs, point, point_inv, field: str = "fp"):
     return L.mont_mul(excl, ipw[1 : n + 1], _spec(field))
 
 
+@partial(jax.jit, static_argnames=("field",))
 def mont_linear_combo(coeffs_stack, weights, field: str = "fp"):
     """sum_c weights[c] * coeffs_stack[c]: (C, n, 16) x (C, 16) -> (n, 16)."""
     prod = L.mont_mul(coeffs_stack, weights[:, None], _spec(field))

@@ -80,7 +80,9 @@ def ipa_open_device(params: Params, coeffs_mont, blind: int, x: int,
     c_s = _commit_mont(params, s_mont, s_blind)
     transcript.write_point(c_s)
     xi = transcript.challenge(b"ipa-xi").v
-    a = L.add(coeffs_mont, L.mont_mul(s_mont, mont(xi), spec), spec)
+    from .prover import _axpy_jit
+
+    a = _axpy_jit(coeffs_mont, s_mont, mont(xi))
     blind = (blind + xi * s_blind) % P
 
     # 2. value mix

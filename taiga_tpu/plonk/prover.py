@@ -308,6 +308,17 @@ def _from_mont_jit(a):
 
 
 @jax.jit
+def _axpy_jit(acc, v, w_m):
+    """acc + w*v (Montgomery), fully jitted — eager limb ops retrace scans."""
+    return L.add(acc, L.mont_mul(v, w_m, L.FP), L.FP)
+
+
+@jax.jit
+def _scale_jit(v, w_m):
+    return L.mont_mul(v, w_m, L.FP)
+
+
+@jax.jit
 def _to_mont_jit(a):
     return L.to_mont(a, L.FP)
 
@@ -490,8 +501,7 @@ def multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr):
             _mont_scalar(pow(g["point"], -1, P)),
         )
         w = _mont_scalar(up)
-        part = L.mont_mul(q, w, L.FP)
-        h = part if h is None else L.add(h, part, L.FP)
+        h = _scale_jit(q, w) if h is None else _axpy_jit(h, q, w)
         up = up * u_ch % P
 
     h_blind = _rand()
@@ -511,7 +521,7 @@ def multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr):
     f_blind = h_blind
     wp = w_ch
     for g in agg:
-        f = L.add(f, L.mont_mul(g["coeffs"], _mont_scalar(wp), L.FP), L.FP)
+        f = _axpy_jit(f, g["coeffs"], _mont_scalar(wp))
         f_blind = (f_blind + wp * g["blind"]) % P
         wp = wp * w_ch % P
     ipa_open_device(params, f, f_blind, x3, tr)
