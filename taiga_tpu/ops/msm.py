@@ -174,6 +174,165 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
     return jnp.stack([v[:, 0] for v in acc])  # (3, 16) projective, limb rows
 
 
+def _window_reduce_multi(pts_lm, dcomp, field: str, c: int, ncols: int, n: int,
+                         compact: int):
+    """Bucket-accumulate one window for NCOLS scalar columns sharing one
+    point set. pts_lm is (16, ncols*n) limb-major projective points in
+    composite-key sorted order; dcomp is the sorted composite key
+    col*2^c + digit (so runs never cross column boundaries). Returns the
+    window partial sums as (3, 16, ncols) projective points."""
+    x, y, z = pts_lm
+    nbuckets = 1 << c
+    total = ncols * n
+    x, y, z = _mask_identity(x, y, z, (dcomp & (nbuckets - 1)) != 0, field)
+
+    chunk_rounds = _CHUNK.bit_length() - 1
+    x, y, z = _seg_rounds(x, y, z, dcomp, total, chunk_rounds, field)
+    idx = jnp.arange(total)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), dcomp[1:] != dcomp[:-1]])
+    start_idx = jnp.where(is_start, idx, -1)
+    seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+    mask = ((idx - seg_start) % _CHUNK) == 0
+    pos = jnp.nonzero(mask, size=compact, fill_value=total)[0]
+    valid = pos < total
+    posc = jnp.clip(pos, 0, total - 1)
+    cd = jnp.where(valid, jnp.take(dcomp, posc), ncols * nbuckets)
+    x = jnp.take(x, posc, axis=1)
+    y = jnp.take(y, posc, axis=1)
+    z = jnp.take(z, posc, axis=1)
+    x, y, z = _mask_identity(x, y, z, valid, field)
+    x, y, z = _seg_rounds(x, y, z, cd, compact, compact.bit_length() - 1, field)
+
+    targets = jnp.arange(ncols * nbuckets, dtype=cd.dtype)
+    pos = jnp.clip(jnp.searchsorted(cd, targets), 0, compact - 1)
+    present = jnp.take(cd, pos) == targets
+    bx = jnp.take(x, pos, axis=1)
+    by = jnp.take(y, pos, axis=1)
+    bz = jnp.take(z, pos, axis=1)
+    bx, by, bz = _mask_identity(bx, by, bz, present, field)
+    # (16, ncols, nbuckets) -> weighted sums via bit decomposition, batched
+    digit_vals = targets.reshape(ncols, nbuckets) & (nbuckets - 1)
+    bit_masks = ((digit_vals[None, :, :] >> jnp.arange(c)[:, None, None]) & 1) > 0
+    # lanes: (16, c, ncols, nbuckets)
+    lanes = c * ncols * nbuckets
+    tx = jnp.broadcast_to(bx.reshape(16, 1, ncols, nbuckets), (16, c, ncols, nbuckets)).reshape(16, lanes)
+    ty = jnp.broadcast_to(by.reshape(16, 1, ncols, nbuckets), (16, c, ncols, nbuckets)).reshape(16, lanes)
+    tz = jnp.broadcast_to(bz.reshape(16, 1, ncols, nbuckets), (16, c, ncols, nbuckets)).reshape(16, lanes)
+    keep = jnp.broadcast_to(bit_masks, (c, ncols, nbuckets)).reshape(lanes)
+    tx, ty, tz = _mask_identity(tx, ty, tz, keep, field)
+
+    def tree_body(r, pts):
+        tx, ty, tz = pts
+        s = jnp.int32(1) << r
+        sh4 = (16, c * ncols, nbuckets)
+        nx = jnp.roll(tx.reshape(sh4), -s, axis=2).reshape(16, lanes)
+        ny = jnp.roll(ty.reshape(sh4), -s, axis=2).reshape(16, lanes)
+        nz = jnp.roll(tz.reshape(sh4), -s, axis=2).reshape(16, lanes)
+        return FK.ec_add_proj_lm(tx, ty, tz, nx, ny, nz, field=field)
+
+    rounds = (nbuckets - 1).bit_length()
+    tx, ty, tz = jax.lax.fori_loop(0, rounds, tree_body, (tx, ty, tz))
+
+    # lane 0 of each (bit, col) row: S_{t,col}; Horner over bits, ncols lanes
+    sel = (jnp.arange(c)[:, None] * ncols + jnp.arange(ncols)[None, :]) * nbuckets
+    sel = sel.reshape(-1)  # (c*ncols,) — index into (c*ncols, nbuckets) flat
+    s_t = (
+        jnp.take(tx, sel, axis=1).reshape(16, c, ncols),
+        jnp.take(ty, sel, axis=1).reshape(16, c, ncols),
+        jnp.take(tz, sel, axis=1).reshape(16, c, ncols),
+    )
+    acc = tuple(v[:, c - 1, :] for v in s_t)
+
+    def horner_bit(i, acc):
+        t = c - 2 - i
+        acc = FK.ec_add_proj_lm(*acc, *acc, field=field)
+        st = tuple(
+            jax.lax.dynamic_slice_in_dim(v, t, 1, axis=1)[:, 0, :] for v in s_t
+        )
+        return FK.ec_add_proj_lm(*acc, *st, field=field)
+
+    acc = jax.lax.fori_loop(0, c - 1, horner_bit, acc)
+    return jnp.stack(acc)  # (3, 16, ncols)
+
+
+def msm_multi(px, py, pz, scalars, field: str = "fq", c: int = WINDOW_BITS,
+              in_form: str = "jacobian"):
+    """Batched Pippenger MSM: NCOLS scalar vectors over ONE shared point set
+    (the SRS) in a single device program — the polynomial-commitment hot path
+    (halo2 commits ~20 columns per proof; batching fills the vector lanes).
+
+    px,py,pz: (N, 16) Jacobian Montgomery points (or limb-major (16, N)
+    projective when in_form="projective"); scalars: (NCOLS, N, 16)
+    plain limbs. Returns (NCOLS, 3, 16) Jacobian points."""
+    ncols, n = scalars.shape[0], scalars.shape[1]
+    if n <= _HOST_FALLBACK_N and jax.default_backend() != "tpu":
+        outs = [
+            _msm_on_host(px, py, pz, scalars[i], field, in_form)
+            for i in range(ncols)
+        ]
+        return jnp.stack(outs)
+    return _msm_multi_device(px, py, pz, scalars, field=field, c=c,
+                             in_form=in_form)
+
+
+@partial(jax.jit, static_argnames=("field", "c", "in_form"))
+def _msm_multi_device(px, py, pz, scalars, field: str = "fq",
+                      c: int = WINDOW_BITS, in_form: str = "jacobian"):
+    spec = L.FP if field == "fp" else L.FQ
+    ncols, n = scalars.shape[0], scalars.shape[1]
+    nbuckets = 1 << c
+    total = ncols * n
+    # compacted width: per-column stride-CHUNK partials + bucket runs
+    compact = 1 << max(1, (total // _CHUNK + ncols * nbuckets - 1).bit_length())
+
+    if in_form == "projective":
+        ppx, ppy, ppz = px, py, pz
+    else:
+        z2 = L.mont_mul(pz, pz, spec)
+        ppx = L.mont_mul(px, pz, spec).T
+        ppy = py.T
+        ppz = L.mont_mul(z2, pz, spec).T
+        finite = ~L.is_zero(pz)
+        ppx, ppy, ppz = _mask_identity(ppx, ppy, ppz, finite, field)
+
+    digits = jax.vmap(lambda s: _digits_all(s, c))(scalars)  # (ncols, n_win, n)
+    digits = jnp.swapaxes(digits, 0, 1)  # (n_win, ncols, n)
+    col_off = (jnp.arange(ncols, dtype=jnp.int32)[:, None] * nbuckets)
+
+    def window_body(_, digits_row):
+        comp = (digits_row + col_off).reshape(total)  # composite key
+        order = jnp.argsort(comp)
+        d = jnp.take(comp, order)
+        pidx = order % n  # shared point set: same points for every column
+        pts = (
+            jnp.take(ppx, pidx, axis=1),
+            jnp.take(ppy, pidx, axis=1),
+            jnp.take(ppz, pidx, axis=1),
+        )
+        w = _window_reduce_multi(pts, d, field, c, ncols, n, compact)
+        return None, w
+
+    _, ws = jax.lax.scan(window_body, None, digits)  # (n_win, 3, 16, ncols)
+
+    n_win = digits.shape[0]
+    acc = tuple(ws[-1, i] for i in range(3))  # (16, ncols) each
+
+    def horner_body(carry, w_row):
+        a = jax.lax.fori_loop(
+            0, c, lambda _, p: FK.ec_add_proj_lm(*p, *p, field=field), carry
+        )
+        a = FK.ec_add_proj_lm(*a, *(w_row[i] for i in range(3)), field=field)
+        return a, None
+
+    acc, _ = jax.lax.scan(horner_body, acc, ws[: n_win - 1][::-1])
+    X, Y, Z = acc  # (16, ncols) projective limb-major
+
+    xz = L.mont_mul(X.T, Z.T, spec)
+    z2o = L.mont_mul(Z.T, Z.T, spec)
+    yz2 = L.mont_mul(Y.T, z2o, spec)
+    return jnp.stack([xz, yz2, Z.T], axis=1)  # (ncols, 3, 16)
+
+
 _HOST_FALLBACK_N = 512
 
 

@@ -22,8 +22,8 @@ from ..ops import poseidon_kernel as pk
 AXIS = "shards"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(devs[:n], (AXIS,))
 

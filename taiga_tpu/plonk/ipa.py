@@ -114,11 +114,13 @@ def ipa_open_device(params: Params, coeffs_mont, blind: int, x: int,
         ips = np.asarray(jax.device_get(_ipa_dots(a_lo, a_hi, b_lo, b_hi)))
         ip_l = L.limbs_to_int(ips[0])
         ip_r = L.limbs_to_int(ips[1])
-        pad = max(0, bucket_of(half) - half)
-        l_pt = _msm_proj(_pad_pts_lm(g_lo, pad), _pad_rows(a_hi, pad)) \
-            + params.w * lb + u_prime * ip_l
-        r_pt = _msm_proj(_pad_pts_lm(g_hi, pad), _pad_rows(a_lo, pad)) \
-            + params.w * rb + u_prime * ip_r
+        # ONE batched 2-column MSM over the shared (full-width) generator set:
+        #   L = <a_hi, G_lo>  -> col 0 scalars [a_hi | 0]
+        #   R = <a_lo, G_hi>  -> col 1 scalars [0 | a_lo]
+        pad = max(0, 2 * bucket_of(half) - 2 * half)
+        l_pt, r_pt = _lr_msm(g_dev, a_lo, a_hi, pad)
+        l_pt = l_pt + params.w * lb + u_prime * ip_l
+        r_pt = r_pt + params.w * rb + u_prime * ip_r
         transcript.write_point(l_pt)
         transcript.write_point(r_pt)
         u = transcript.challenge(b"ipa-u").v
@@ -156,6 +158,27 @@ def _pad_pts_lm(pts, pad: int):
     y = jnp.concatenate([y, one.astype(jnp.uint32)], axis=1)
     z = jnp.pad(z, [(0, 0), (0, pad)])
     return x, y, z
+
+
+def _lr_msm(g_dev, a_lo, a_hi, pad: int):
+    """The IPA round's L/R commitments as one 2-column shared-point MSM:
+    col0 = [a_hi | 0] (pairs with G_lo), col1 = [0 | a_lo] (pairs with G_hi).
+    a_* are (half, 16) Montgomery; g_dev is limb-major projective (16, W)."""
+    cols = _lr_cols(a_lo, a_hi)
+    if pad:
+        cols = jnp.pad(cols, [(0, 0), (0, pad), (0, 0)])
+    out = msm_mod.msm_multi(*_pad_pts_lm(g_dev, pad), cols, field="fq",
+                            in_form="projective")
+    pts = ec.points_from_device((out[:, 0], out[:, 1], out[:, 2]), VestaPoint)
+    return pts[0], pts[1]
+
+
+@jax.jit
+def _lr_cols(a_lo, a_hi):
+    z = jnp.zeros_like(a_lo)
+    col0 = jnp.concatenate([a_hi, z], axis=0)
+    col1 = jnp.concatenate([z, a_lo], axis=0)
+    return L.from_mont(jnp.stack([col0, col1]), L.FP)
 
 
 def _msm_proj(g_lm, scalars_mont) -> VestaPoint:

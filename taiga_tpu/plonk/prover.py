@@ -21,7 +21,10 @@ transparent domain tables) is computed once and cached on the ProvingKey.
 
 from __future__ import annotations
 
+import os
 import secrets
+import sys
+import time
 from functools import lru_cache
 
 import jax
@@ -55,6 +58,24 @@ P = Fp.MODULUS
 
 def _rand() -> int:
     return secrets.randbits(300) % P
+
+
+class _StageTimer:
+    """Per-stage wall-clock attribution (TAIGA_PROFILE=1). Blocks on the
+    given arrays at each mark so device time lands in the right bucket."""
+
+    def __init__(self):
+        self.on = os.environ.get("TAIGA_PROFILE") == "1"
+        self.t = time.time()
+
+    def mark(self, name: str, *block_on):
+        if not self.on:
+            return
+        for a in block_on:
+            jax.block_until_ready(a)
+        now = time.time()
+        print(f"#   stage {name:28s} {now - self.t:7.3f}s", file=sys.stderr)
+        self.t = now
 
 
 def _mont_scalar(v: int):
@@ -179,33 +200,45 @@ class ProverPipeline:
 
     # --- commitments ---------------------------------------------------
     def commit_coeff_rows(self, coeffs_mont, blinds: list[int]) -> list[VestaPoint]:
-        """Commit each row of (C, n, 16) Montgomery coefficients."""
+        """Commit each row of (C, n, 16) Montgomery coefficients — ONE
+        batched MSM over the shared SRS bases for all C columns."""
         g_dev = tuple(map(jnp.asarray, srs_device(self.k)))
         plain = _from_mont_jit(coeffs_mont)
-        outs = []
-        for i in range(coeffs_mont.shape[0]):
-            out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], plain[i], field="fq")
-            outs.append(out)
-        pts = [
-            ec.points_from_device((o[0][None], o[1][None], o[2][None]), VestaPoint)[0]
-            for o in outs
-        ]
+        ncols = coeffs_mont.shape[0]
+        if ncols == 1:
+            out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], plain[0], field="fq")
+            outs = out[None]
+        else:
+            outs = msm_mod.msm_multi(g_dev[0], g_dev[1], g_dev[2], plain, field="fq")
+        pts = ec.points_from_device(
+            (outs[:, 0], outs[:, 1], outs[:, 2]), VestaPoint
+        )
         w = get_params(self.k).w
         return [pt + w * b if b else pt for pt, b in zip(pts, blinds)]
 
     # --- permutation grand products ------------------------------------
-    def z_columns(self, tables_by_col, beta: int, gamma: int) -> list[list[int]]:
-        """Grand-product columns (host ints out; cumprod on device)."""
+    def z_values(self, tables_by_col, beta: int, gamma: int):
+        """Grand-product columns as (n_chunks, n, 16) device Montgomery
+        values — cumprods, cross-chunk chaining, and blinding-row fill all
+        happen on device (no host int round-trip)."""
         st = self.static_tables()
         n, u = self.n, self.u
         beta_m = _mont_scalar(beta)
         gamma_m = _mont_scalar(gamma)
+        # blinding rows u+1..n-1 are random; tiny, generated host-side
+        rand_rows = jnp.asarray(
+            np.stack([
+                L.FP.array_to_mont([_rand() for _ in range(n - u - 1)])
+                for _ in self.chunks
+            ])
+        )
 
         if self._z_jit is None:
             chunks = self.chunks
             perm_index = {c: j for j, c in enumerate(self.pk.vk.perm_cols)}
+            zu = u
 
-            def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m):
+            def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m, rand_rows):
                 # cols_v: (J, n, 16) permutation column values (Montgomery)
                 ratios = []
                 for c, chunk in enumerate(chunks):
@@ -230,26 +263,27 @@ class ProverPipeline:
                         den = t_den if den is None else L.mont_mul(den, t_den, L.FP)
                     ratio = L.mont_mul(num, L.mont_inv(den, L.FP), L.FP)
                     ratios.append(poly.mont_cumprod(ratio, "fp"))
-                return jnp.stack(ratios)  # (n_chunks, n, 16)
+                cps = jnp.stack(ratios)  # (n_chunks, n, 16)
+                # chain: running_c = prod_{c'<c} cp_{c'}[u-1]; z_c[0]=running_c,
+                # z_c[i+1] = running_c * cp_c[i] for i < u, blinding rows random
+                one = jnp.broadcast_to(
+                    jnp.asarray(L.FP.one_mont, jnp.uint32), (1, L.NLIMBS)
+                )
+                finals = cps[:, zu - 1]  # (C, 16)
+                running = jnp.concatenate(
+                    [one, poly.mont_cumprod(finals, "fp")[:-1]], axis=0
+                )  # (C, 16)
+                z_main = L.mont_mul(running[:, None, :], cps, L.FP)
+                return jnp.concatenate(
+                    [running[:, None, :], z_main[:, :zu], rand_rows], axis=1
+                )  # (C, n, 16)
 
             self._z_jit = jax.jit(zfn)
 
-        cps = self._z_jit(
-            tables_by_col, st["sigma_v"], st["omega_pows"], beta_m, gamma_m
+        return self._z_jit(
+            tables_by_col, st["sigma_v"], st["omega_pows"], beta_m, gamma_m,
+            rand_rows,
         )
-        cps_host = [L.FP.array_from_mont(cps[c]) for c in range(cps.shape[0])]
-        z_cols = []
-        running = 1
-        for cp in cps_host:
-            z = [0] * n
-            z[0] = running
-            for i in range(u):
-                z[i + 1] = running * cp[i] % P
-            running = z[u]
-            for i in range(u + 1, n):
-                z[i] = _rand()
-            z_cols.append(z)
-        return z_cols
 
     # --- quotient -------------------------------------------------------
     def quotient_coeffs(
@@ -342,6 +376,8 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     pipe = get_pipeline(pk)
     inst = [v.v if isinstance(v, Fp) else int(v) % P for v in instance]
 
+    st_t = _StageTimer()
+
     # --- synthesize witness ------------------------------------------
     cs = vk.cs
     builder = CircuitBuilder(cs, k, "prove")
@@ -350,6 +386,7 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     for col in advice:
         for i in range(u, n):
             col[i] = _rand()
+    st_t.mark("witness synthesis")
 
     tr = ProofWriter(b"taiga-tpu-plonk")
     tr.absorb_bytes(vk.digest)
@@ -364,6 +401,7 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     advice_blinds = [_rand() for _ in advice]
     for pt in pipe.commit_coeff_rows(advice_c, advice_blinds):
         tr.write_point(pt)
+    st_t.mark("advice commit")
 
     beta = tr.challenge(b"beta").v
     gamma = tr.challenge(b"gamma").v
@@ -380,12 +418,13 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
             perm_tables.append(
                 _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col)))
             )
-    z_cols = pipe.z_columns(jnp.stack(perm_tables), beta, gamma)
-    z_v = _cols_to_mont_dev(z_cols)
+    z_v = pipe.z_values(jnp.stack(perm_tables), beta, gamma)
+    st_t.mark("perm grand products")
     z_c = pipe.values_to_coeffs(z_v)
-    z_blinds = [_rand() for _ in z_cols]
+    z_blinds = [_rand() for _ in range(z_v.shape[0])]
     for pt in pipe.commit_coeff_rows(z_c, z_blinds):
         tr.write_point(pt)
+    st_t.mark("z commit")
 
     y = tr.challenge(b"y").v
 
@@ -395,14 +434,17 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     advice_e = pipe.to_ext(advice_c)
     inst_e = pipe.to_ext(inst_c)
     z_e = pipe.to_ext(z_c)
+    st_t.mark("extend advice/inst/z", advice_e, inst_e, z_e)
     h_all = pipe.quotient_coeffs(advice_e, inst_e, z_e, beta, gamma, y)
     # degree check: pieces beyond NUM_H_PIECES*n must vanish
     tail = _from_mont_jit(h_all[NUM_H_PIECES * n :])
     assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
+    st_t.mark("quotient eval")
     h_pieces = h_all[: NUM_H_PIECES * n].reshape(NUM_H_PIECES, n, L.NLIMBS)
     h_blinds = [_rand() for _ in range(NUM_H_PIECES)]
     for pt in pipe.commit_coeff_rows(h_pieces, h_blinds):
         tr.write_point(pt)
+    st_t.mark("h commit")
 
     x = tr.challenge(b"x").v
 
@@ -442,6 +484,7 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         v = evals_host[(kind, idx, rot % n)]
         evals[(kind, idx, rot)] = v
         tr.write_scalar(Fp(v))
+    st_t.mark("query evals")
 
     # --- multiopen ----------------------------------------------------
     entries = []
@@ -455,6 +498,7 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
             }
         )
     multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
+    st_t.mark("multiopen + IPA")
     return tr.bytes()
 
 

@@ -14,6 +14,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize hook imports jax at interpreter start and pins
+# jax_platforms to "axon,cpu", which silently overrides the env var above.
+# Re-pin via the config API (legal until the first backend initializes).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: kernel graphs are large; re-runs hit cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

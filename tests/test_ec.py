@@ -60,6 +60,24 @@ def test_msm_matches_host(curve, field):
     assert got == exp
 
 
+def test_msm_multi_matches_per_column():
+    """Batched multi-column MSM (shared point set) vs per-column host MSM.
+    Small shapes + 4-bit windows so the XLA-CPU compile stays cheap."""
+    n, ncols = 64, 3
+    pts = _rand_points(VestaPoint, n)
+    cols = []
+    for ci in range(ncols):
+        s = [rng.getrandbits(255) % VestaPoint.SCALAR.MODULUS for _ in range(n)]
+        s[ci] = 0  # exercise zero-digit masking per column
+        cols.append(s)
+    px, py, pz = map(jnp.asarray, ec.points_to_device(pts))
+    sl = jnp.stack([jnp.asarray(msm.scalars_to_limbs(s)) for s in cols])
+    out = msm._msm_multi_device(px, py, pz, sl, field="fq", c=4)
+    got = ec.points_from_device((out[:, 0], out[:, 1], out[:, 2]), VestaPoint)
+    exp = [msm.msm_host(pts, s) for s in cols]
+    assert got == exp
+
+
 def test_msm_all_zero_scalars():
     n = 8
     pts = _rand_points(VestaPoint, n)
