@@ -146,6 +146,20 @@ class CurvePoint:
         """Scalar multiplication; scalar may be int or a SCALAR field element."""
         k = scalar.v if isinstance(scalar, Field) else int(scalar)
         k %= self.SCALAR.MODULUS
+        if self.A == 0 and self.B == 5:
+            # production Pasta curves: native C++ double-and-add (~50x the
+            # pure-Python chain); falls through when the engine is absent
+            from .. import native
+
+            fid = native.FIELD_FP if self.FIELD.__name__ == "Fp" else native.FIELD_FQ
+            out = native.ec_scalar_mul(
+                fid, (self.x.v, self.y.v, self.infinity), k
+            )
+            if out is not None:
+                x, y, inf = out
+                if inf:
+                    return type(self).identity()
+                return type(self)(self.FIELD(x), self.FIELD(y))
         acc = type(self).identity()
         add = self
         while k:

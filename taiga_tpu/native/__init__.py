@@ -59,6 +59,9 @@ def lib():
         so.taiga_poseidon_hash2_chain.argtypes = [
             ctypes.c_int, u64p, u64p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
+        so.taiga_ec_add.argtypes = [ctypes.c_int, u64p, u64p, u64p]
+        so.taiga_ec_scalar_mul.argtypes = [ctypes.c_int, u64p, u64p, u64p]
+        so.taiga_ec_msm.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
         _init_constants(so)
         _lib = so
         return _lib
@@ -109,3 +112,61 @@ def merkle_fold(leaf: int, siblings: list[int], is_left: list[bool]) -> int | No
     flags = (ctypes.c_uint8 * len(is_left))(*[1 if b else 0 for b in is_left])
     so.taiga_poseidon_hash2_chain(FIELD_FP, out, sib, flags, len(is_left))
     return _u64_to_ints(out, 1)[0]
+
+
+# --- EC (affine plain-form x|y|inf tuples across the FFI) -------------------
+
+
+def _pt_to_u64(pt: tuple[int, int, bool]):
+    x, y, inf = pt
+    buf = x.to_bytes(32, "little") + y.to_bytes(32, "little") \
+        + (1 if inf else 0).to_bytes(8, "little")
+    return (ctypes.c_uint64 * 9).from_buffer_copy(buf)
+
+
+def _u64_to_pt(arr) -> tuple[int, int, bool]:
+    raw = bytes(bytearray(arr))
+    return (
+        int.from_bytes(raw[:32], "little"),
+        int.from_bytes(raw[32:64], "little"),
+        bool(arr[8]),
+    )
+
+
+def ec_scalar_mul(field_id: int, pt: tuple[int, int, bool], scalar: int):
+    """[scalar] pt on y^2 = x^3 + 5 over the given coordinate field; returns
+    (x, y, inf) or None if the engine is unavailable."""
+    so = lib()
+    if so is None:
+        return None
+    out = (ctypes.c_uint64 * 9)()
+    so.taiga_ec_scalar_mul(field_id, out, _pt_to_u64(pt),
+                           _ints_to_u64([scalar]))
+    return _u64_to_pt(out)
+
+
+def ec_add(field_id: int, a: tuple[int, int, bool], b: tuple[int, int, bool]):
+    so = lib()
+    if so is None:
+        return None
+    out = (ctypes.c_uint64 * 9)()
+    so.taiga_ec_add(field_id, out, _pt_to_u64(a), _pt_to_u64(b))
+    return _u64_to_pt(out)
+
+
+def ec_msm(field_id: int, pts: list[tuple[int, int, bool]], scalars: list[int]):
+    """sum_i [scalars[i]] pts[i], or None if the engine is unavailable."""
+    so = lib()
+    if so is None:
+        return None
+    n = len(pts)
+    buf = b"".join(
+        x.to_bytes(32, "little") + y.to_bytes(32, "little")
+        + (1 if inf else 0).to_bytes(8, "little")
+        for x, y, inf in pts
+    )
+    parr = (ctypes.c_uint64 * (9 * n)).from_buffer_copy(buf)
+    sarr = _ints_to_u64(scalars)
+    out = (ctypes.c_uint64 * 9)()
+    so.taiga_ec_msm(field_id, out, parr, sarr, n)
+    return _u64_to_pt(out)

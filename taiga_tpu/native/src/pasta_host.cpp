@@ -127,6 +127,137 @@ static void from_mont(u64 out[4], const u64 a[4], const Field& f) {
     mont_mul(out, a, one, f);
 }
 
+// --- elliptic curve (short Weierstrass a = 0; Pallas/Vesta) ----------------
+// Jacobian coordinates in Montgomery form; Z = 0 encodes the identity.
+
+struct JPoint {
+    u64 X[4], Y[4], Z[4];
+};
+
+static inline bool is_zero4(const u64 a[4]) {
+    return !(a[0] | a[1] | a[2] | a[3]);
+}
+
+static inline void mont_sqr(u64 out[4], const u64 a[4], const Field& f) {
+    mont_mul(out, a, a, f);
+}
+
+static void mont_pow(u64 out[4], const u64 base[4], const u64 e[4],
+                     const Field& f) {
+    u64 acc[4];
+    u64 one[4] = {1, 0, 0, 0};
+    to_mont(acc, one, f);
+    for (int i = 255; i >= 0; i--) {
+        mont_sqr(acc, acc, f);
+        if ((e[i / 64] >> (i % 64)) & 1) mont_mul(acc, acc, base, f);
+    }
+    std::memcpy(out, acc, 32);
+}
+
+static void mont_inv(u64 out[4], const u64 a[4], const Field& f) {
+    u64 e[4];
+    std::memcpy(e, f.mod, 32);
+    e[0] -= 2;  // p - 2 (p odd: no borrow)
+    mont_pow(out, a, e, f);
+}
+
+static void jset_identity(JPoint& r, const Field& f) {
+    u64 one[4] = {1, 0, 0, 0};
+    to_mont(r.X, one, f);
+    to_mont(r.Y, one, f);
+    std::memset(r.Z, 0, 32);
+}
+
+static void jdouble(JPoint& r, const JPoint& pin, const Field& f) {
+    JPoint p = pin;  // alias-safe
+    if (is_zero4(p.Z)) { r = p; return; }
+    u64 A[4], B[4], C[4], D[4], E[4], F[4], t[4], t2[4];
+    mont_sqr(A, p.X, f);
+    mont_sqr(B, p.Y, f);
+    mont_sqr(C, B, f);
+    mod_add(t, p.X, B, f);
+    mont_sqr(t, t, f);
+    mod_sub(t, t, A, f);
+    mod_sub(t, t, C, f);
+    mod_add(D, t, t, f);
+    mod_add(E, A, A, f);
+    mod_add(E, E, A, f);
+    mont_sqr(F, E, f);
+    mod_add(t, D, D, f);
+    mod_sub(r.X, F, t, f);
+    mod_sub(t, D, r.X, f);
+    mont_mul(t, E, t, f);
+    mod_add(t2, C, C, f);
+    mod_add(t2, t2, t2, f);
+    mod_add(t2, t2, t2, f);
+    mod_sub(r.Y, t, t2, f);
+    mont_mul(t, p.Y, p.Z, f);
+    mod_add(r.Z, t, t, f);
+}
+
+static void jadd(JPoint& r, const JPoint& pin, const JPoint& qin,
+                 const Field& f) {
+    JPoint p = pin, q = qin;  // alias-safe
+    if (is_zero4(p.Z)) { r = q; return; }
+    if (is_zero4(q.Z)) { r = p; return; }
+    u64 Z1Z1[4], Z2Z2[4], U1[4], U2[4], S1[4], S2[4], H[4], R_[4], t[4], t2[4];
+    mont_sqr(Z1Z1, p.Z, f);
+    mont_sqr(Z2Z2, q.Z, f);
+    mont_mul(U1, p.X, Z2Z2, f);
+    mont_mul(U2, q.X, Z1Z1, f);
+    mont_mul(t, q.Z, Z2Z2, f);
+    mont_mul(S1, p.Y, t, f);
+    mont_mul(t, p.Z, Z1Z1, f);
+    mont_mul(S2, q.Y, t, f);
+    mod_sub(H, U2, U1, f);
+    mod_sub(R_, S2, S1, f);
+    if (is_zero4(H)) {
+        if (is_zero4(R_)) { jdouble(r, p, f); return; }
+        jset_identity(r, f);
+        return;
+    }
+    u64 HH[4], HHH[4], V[4];
+    mont_sqr(HH, H, f);
+    mont_mul(HHH, H, HH, f);
+    mont_mul(V, U1, HH, f);
+    mont_sqr(t, R_, f);
+    mod_sub(t, t, HHH, f);
+    mod_sub(t, t, V, f);
+    mod_sub(r.X, t, V, f);
+    mod_sub(t, V, r.X, f);
+    mont_mul(t, R_, t, f);
+    mont_mul(t2, S1, HHH, f);
+    mod_sub(r.Y, t, t2, f);
+    mont_mul(t, p.Z, q.Z, f);
+    mont_mul(r.Z, t, H, f);
+}
+
+// Affine plain-form point layout across the FFI: 9 u64 = x(4) | y(4) | inf(1).
+static void jfrom_affine(JPoint& p, const u64* in, const Field& f) {
+    if (in[8]) { jset_identity(p, f); return; }
+    to_mont(p.X, in, f);
+    to_mont(p.Y, in + 4, f);
+    u64 one[4] = {1, 0, 0, 0};
+    to_mont(p.Z, one, f);
+}
+
+static void jto_affine(u64* out, const JPoint& p, const Field& f) {
+    if (is_zero4(p.Z)) {
+        std::memset(out, 0, 64);
+        out[8] = 1;
+        return;
+    }
+    u64 zi[4], zi2[4], zi3[4], t[4];
+    mont_inv(zi, p.Z, f);
+    mont_sqr(zi2, zi, f);
+    mont_mul(zi3, zi2, zi, f);
+    mont_mul(t, p.X, zi2, f);
+    from_mont(out, t, f);
+    mont_mul(t, p.Y, zi3, f);
+    from_mont(out + 4, t, f);
+    out[8] = 0;
+}
+
 // --- exported API ----------------------------------------------------------
 
 extern "C" {
@@ -248,6 +379,54 @@ void taiga_poseidon_hash2_chain(int field_id, u64* leaf_out,
         std::memcpy(node, state, 32);
     }
     std::memcpy(leaf_out, node, 32);
+}
+
+// EC ops over affine plain-form points (9 u64: x | y | inf). field_id is the
+// COORDINATE field (Pallas: Fp = 0, Vesta: Fq = 1); curve is y^2 = x^3 + 5.
+
+void taiga_ec_add(int field_id, u64* out, const u64* a, const u64* b) {
+    const Field& f = g_fields[field_id];
+    JPoint P, Q, R;
+    jfrom_affine(P, a, f);
+    jfrom_affine(Q, b, f);
+    jadd(R, P, Q, f);
+    jto_affine(out, R, f);
+}
+
+// out = [scalar] p, double-and-add over the fixed 256-bit window.
+void taiga_ec_scalar_mul(int field_id, u64* out, const u64* p,
+                         const u64* scalar) {
+    const Field& f = g_fields[field_id];
+    JPoint P, R;
+    jfrom_affine(P, p, f);
+    jset_identity(R, f);
+    for (int i = 255; i >= 0; i--) {
+        jdouble(R, R, f);
+        if ((scalar[i / 64] >> (i % 64)) & 1) jadd(R, R, P, f);
+    }
+    jto_affine(out, R, f);
+}
+
+// Batched MSM: out = sum_i [scalars[i]] pts[i]; pts n*9 u64, scalars n*4 u64.
+void taiga_ec_msm(int field_id, u64* out, const u64* pts, const u64* scalars,
+                  long n) {
+    const Field& f = g_fields[field_id];
+    JPoint acc;
+    jset_identity(acc, f);
+    for (long i = 0; i < n; i++) {
+        JPoint P, R;
+        jfrom_affine(P, pts + 9 * i, f);
+        jset_identity(R, f);
+        const u64* s = scalars + 4 * i;
+        int top = 255;
+        while (top >= 0 && !((s[top / 64] >> (top % 64)) & 1)) top--;
+        for (int b = top; b >= 0; b--) {
+            jdouble(R, R, f);
+            if ((s[b / 64] >> (b % 64)) & 1) jadd(R, R, P, f);
+        }
+        jadd(acc, acc, R, f);
+    }
+    jto_affine(out, acc, f);
 }
 
 }  // extern "C"

@@ -56,3 +56,51 @@ def test_mont_mul_batch():
     )
     got = native._u64_to_ints(out, 32)
     assert got == [x * y % Fp.MODULUS for x, y in zip(a, b)]
+
+
+def test_native_ec_scalar_mul_matches_python():
+    """Native C++ double-and-add vs the pure-Python chain (both curves)."""
+    import random
+
+    from taiga_tpu.crypto.curves import CurvePoint, PallasPoint, VestaPoint
+
+    if native.lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = random.Random(11)
+    for curve in (VestaPoint, PallasPoint):
+        g = curve.generator() * rng.getrandbits(100)
+        for _ in range(5):
+            s = rng.getrandbits(256) % curve.SCALAR.MODULUS
+            fast = g * s
+            acc, add, k = curve.identity(), g, s
+            while k:  # pure-Python oracle (bypasses the native fast path)
+                if k & 1:
+                    acc = CurvePoint.__add__(acc, add)
+                add = CurvePoint.__add__(add, add)
+                k >>= 1
+            assert fast == acc
+        assert (g * 0).is_identity()
+        assert (curve.identity() * 777).is_identity()
+        assert g * curve.SCALAR.MODULUS == curve.identity()
+
+
+def test_native_ec_msm_matches_host():
+    import random
+
+    from taiga_tpu.crypto.curves import VestaPoint
+
+    if native.lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = random.Random(13)
+    pts = [VestaPoint.generator() * (i + 3) for i in range(20)]
+    ss = [rng.getrandbits(255) % VestaPoint.SCALAR.MODULUS for _ in range(20)]
+    ss[7] = 0
+    got = native.ec_msm(
+        native.FIELD_FQ,
+        [(p.x.v, p.y.v, p.infinity) for p in pts],
+        ss,
+    )
+    exp = VestaPoint.identity()
+    for p, s in zip(pts, ss):
+        exp = exp + p * s
+    assert got == (exp.x.v, exp.y.v, exp.infinity)
