@@ -76,3 +76,33 @@ def resource_serialize(r: Resource) -> bytes:
 
 def resource_deserialize(b: bytes) -> Resource:
     return Resource.deserialize(b)
+
+
+def transaction_serialize(tx: Transaction) -> bytes:
+    """taiga_api.rs:141-160."""
+    from .wire import transaction_serialize as _ser
+
+    return _ser(tx)
+
+
+def transaction_deserialize(b: bytes) -> Transaction:
+    from .wire import transaction_deserialize as _de
+
+    return _de(b)
+
+
+def partial_transaction_serialize(ptx) -> bytes:
+    """taiga_api.rs:104-139 (shielded or transparent, tagged by type)."""
+    from .wire import shielded_ptx_serialize, transparent_ptx_serialize
+
+    if isinstance(ptx, ShieldedPartialTransaction):
+        return b"\x00" + shielded_ptx_serialize(ptx)
+    return b"\x01" + transparent_ptx_serialize(ptx)
+
+
+def partial_transaction_deserialize(b: bytes):
+    from .wire import shielded_ptx_deserialize, transparent_ptx_deserialize
+
+    if b[:1] == b"\x00":
+        return shielded_ptx_deserialize(b[1:])
+    return transparent_ptx_deserialize(b[1:])
