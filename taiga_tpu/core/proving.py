@@ -41,6 +41,30 @@ def set_params_size(compliance: int | None = None, rl: int | None = None):
         _PARAMS_OVERRIDE["rl"] = rl
 
 
+class params_override:
+    """Scoped domain-size override (context manager). Restores the previous
+    override on exit, so test modules can't leak k into each other (pytest
+    imports every module at collection; a bare set_params_size at module
+    scope is last-import-wins)."""
+
+    def __init__(self, compliance: int | None = None, rl: int | None = None):
+        self._new = {}
+        if compliance is not None:
+            self._new["compliance"] = compliance
+        if rl is not None:
+            self._new["rl"] = rl
+
+    def __enter__(self):
+        self._saved = dict(_PARAMS_OVERRIDE)
+        _PARAMS_OVERRIDE.update(self._new)
+        return self
+
+    def __exit__(self, *exc):
+        _PARAMS_OVERRIDE.clear()
+        _PARAMS_OVERRIDE.update(self._saved)
+        return False
+
+
 _PK_CACHE: dict = {}
 _PK_LOCK = threading.Lock()
 

@@ -240,7 +240,8 @@ class ProverPipeline:
 
             def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m, rand_rows):
                 # cols_v: (J, n, 16) permutation column values (Montgomery)
-                ratios = []
+                nums = []
+                dens = []
                 for c, chunk in enumerate(chunks):
                     num = None
                     den = None
@@ -261,9 +262,28 @@ class ProverPipeline:
                         )
                         num = t_num if num is None else L.mont_mul(num, t_num, L.FP)
                         den = t_den if den is None else L.mont_mul(den, t_den, L.FP)
-                    ratio = L.mont_mul(num, L.mont_inv(den, L.FP), L.FP)
-                    ratios.append(poly.mont_cumprod(ratio, "fp"))
-                cps = jnp.stack(ratios)  # (n_chunks, n, 16)
+                    nums.append(num)
+                    dens.append(den)
+                # cp_c[i] = prod_{j<=i} num_c[j]/den_c[j], with the division
+                # done by ONE single-element Fermat inversion per chunk:
+                # inv(prefix_den[i]) = suffix_den_excl[i] * inv(total_den).
+                # Rows >= usable hold random blinding factors that cancel in
+                # the identity (nonzero w.h.p.) and are never read below.
+                num_s = jnp.stack(nums)  # (C, n, 16)
+                den_s = jnp.stack(dens)
+                num_cp = jax.vmap(lambda a: poly.mont_cumprod(a, "fp"))(num_s)
+                den_sfx = jax.vmap(lambda a: poly.mont_cumprod(a, "fp"))(
+                    jnp.flip(den_s, axis=1)
+                )  # reversed inclusive suffix products
+                den_sfx = jnp.flip(den_sfx, axis=1)  # sfx[i] = prod_{j>=i} den[j]
+                total = den_sfx[:, 0]  # (C, 16)
+                inv_total = L.mont_inv(total, L.FP)  # Fermat on C elements only
+                one_row = jnp.broadcast_to(
+                    jnp.asarray(L.FP.one_mont, jnp.uint32), (den_sfx.shape[0], 1, L.NLIMBS)
+                )
+                sfx_excl = jnp.concatenate([den_sfx[:, 1:], one_row], axis=1)
+                den_cp_inv = L.mont_mul(sfx_excl, inv_total[:, None, :], L.FP)
+                cps = L.mont_mul(num_cp, den_cp_inv, L.FP)  # (n_chunks, n, 16)
                 # chain: running_c = prod_{c'<c} cp_{c'}[u-1]; z_c[0]=running_c,
                 # z_c[i+1] = running_c * cp_c[i] for i < u, blinding rows random
                 one = jnp.broadcast_to(

@@ -9,7 +9,7 @@ import pytest
 from taiga_tpu.circuits.compliance import ComplianceCircuit
 from taiga_tpu.core.compliance import ComplianceInfo
 from taiga_tpu.core.merkle import MerklePath
-from taiga_tpu.core.proving import set_params_size
+from taiga_tpu.core.proving import params_override
 from taiga_tpu.core.resource import Resource
 from taiga_tpu.core.resource_tree import ResourceMerkleTreeLeaves
 from taiga_tpu.crypto.fields import Fp
@@ -17,7 +17,14 @@ from taiga_tpu.plonk.circuit import CircuitBuilder
 from taiga_tpu.plonk.mock import MockProver
 
 K = 15
-set_params_size(compliance=K, rl=12)  # rl tests stay small; compliance needs 2^15 rows (in-circuit Blake2s)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _params():
+    # rl tests stay small; compliance needs 2^15 rows (in-circuit Blake2s).
+    # Scoped so the override can't leak into other test modules.
+    with params_override(compliance=K, rl=12):
+        yield
 
 rng = random.Random(0xC14C)
 

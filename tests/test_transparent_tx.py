@@ -16,12 +16,15 @@ from taiga_tpu.core.api import create_transaction, verify_transaction
 from taiga_tpu.core.compliance import ComplianceInfo
 from taiga_tpu.core.error import TransactionError
 from taiga_tpu.core.merkle import MerklePath
-from taiga_tpu.core.proving import set_params_size
+from taiga_tpu.core.proving import params_override
 from taiga_tpu.core.ptx import TransparentPartialTransaction
 from taiga_tpu.core.resource import Resource
 from taiga_tpu.core.resource_tree import ResourceMerkleTreeLeaves
 
-set_params_size(compliance=13, rl=12)
+@pytest.fixture(autouse=True, scope="module")
+def _params():
+    with params_override(compliance=13, rl=12):
+        yield
 
 rng = random.Random(0x7123)
 

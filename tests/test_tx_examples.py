@@ -4,14 +4,20 @@ the benchmark tier instead of the unit suite)."""
 
 import random
 
-from taiga_tpu.core.proving import set_params_size
+import pytest
+
+from taiga_tpu.core.proving import params_override
 from taiga_tpu.examples import (
     create_partial_fulfillment_transaction,
     create_token_swap_intent_transaction,
     create_token_swap_transaction,
 )
 
-set_params_size(rl=14)
+
+@pytest.fixture(autouse=True, scope="module")
+def _params():
+    with params_override(rl=14):
+        yield
 
 rng = random.Random(0xE2E)
 

@@ -15,7 +15,7 @@ from taiga_tpu.core import api
 from taiga_tpu.core import wire
 from taiga_tpu.core.compliance import ComplianceInfo
 from taiga_tpu.core.merkle import MerklePath
-from taiga_tpu.core.proving import Proof, ResourceLogicVerifyingInfo, set_params_size
+from taiga_tpu.core.proving import Proof, ResourceLogicVerifyingInfo, params_override
 from taiga_tpu.core.ptx import (
     ComplianceVerifyingInfo,
     ResourceLogicVerifyingInfoSet,
@@ -26,7 +26,10 @@ from taiga_tpu.core.resource import Resource
 from taiga_tpu.core.resource_tree import ResourceMerkleTreeLeaves
 from taiga_tpu.crypto.fields import Fp, Fq
 
-set_params_size(compliance=13, rl=12)
+@pytest.fixture(autouse=True, scope="module")
+def _params():
+    with params_override(compliance=13, rl=12):
+        yield
 
 rng = random.Random(0xA11CE)
 
