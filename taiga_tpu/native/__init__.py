@@ -26,14 +26,16 @@ FIELD_FQ = 1
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    for flags in (["-O3", "-fopenmp"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True, capture_output=True, timeout=240,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def lib():
@@ -62,6 +64,27 @@ def lib():
         so.taiga_ec_add.argtypes = [ctypes.c_int, u64p, u64p, u64p]
         so.taiga_ec_scalar_mul.argtypes = [ctypes.c_int, u64p, u64p, u64p]
         so.taiga_ec_msm.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_to_mont.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_from_mont.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        for nm in ("taiga_vec_mul", "taiga_vec_add", "taiga_vec_sub"):
+            getattr(so, nm).argtypes = [
+                ctypes.c_int, u64p, u64p, u64p, ctypes.c_long, ctypes.c_long,
+            ]
+        so.taiga_vec_neg.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_sum.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_poly_divide.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_ec_fold.argtypes = [ctypes.c_int, u64p, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_cumprod.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_batch_inv.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_vec_powers.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
+        so.taiga_mont_inv_one.argtypes = [ctypes.c_int, u64p, u64p]
+        so.taiga_ntt.argtypes = [
+            ctypes.c_int, u64p, ctypes.c_long, ctypes.c_int, u64p, ctypes.c_int,
+        ]
+        so.taiga_poly_eval_many.argtypes = [
+            ctypes.c_int, u64p, u64p, u64p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ]
         _init_constants(so)
         _lib = so
         return _lib

@@ -14,10 +14,15 @@
 // taiga_tpu.crypto (Grain-derived), and this engine is differentially tested
 // against it (tests/test_native.py).
 //
-// Build: g++ -O3 -shared -fPIC -o libpasta_host.so pasta_host.cpp
+// Build: g++ -O3 -fopenmp -shared -fPIC -o libpasta_host.so pasta_host.cpp
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 using u64 = uint64_t;
 using u128 = unsigned __int128;
@@ -407,26 +412,428 @@ void taiga_ec_scalar_mul(int field_id, u64* out, const u64* p,
     jto_affine(out, R, f);
 }
 
+}  // extern "C" (host crypto block; MSM/NTT/vector block reopens below)
+
+// --- Pippenger MSM ----------------------------------------------------------
+// Window/bucket method, threaded over windows. Points arrive as plain-form
+// affine (9 u64 each); converted once to Montgomery affine, then each window
+// sweeps all points with Jacobian+affine mixed adds into its buckets and
+// reduces buckets by running suffix sums.
+
+struct APoint {
+    u64 X[4], Y[4];
+    bool inf;
+};
+
+// Mixed add: r (Jacobian) += q (affine, Montgomery). a = 0 curve.
+static void jadd_mixed(JPoint& r, const APoint& q, const Field& f) {
+    if (q.inf) return;
+    if (is_zero4(r.Z)) {
+        std::memcpy(r.X, q.X, 32);
+        std::memcpy(r.Y, q.Y, 32);
+        u64 one[4] = {1, 0, 0, 0};
+        to_mont(r.Z, one, f);
+        return;
+    }
+    u64 Z1Z1[4], U2[4], S2[4], H[4], HH[4], I[4], J[4], rr[4], V[4], t[4], t2[4];
+    mont_sqr(Z1Z1, r.Z, f);
+    mont_mul(U2, q.X, Z1Z1, f);
+    mont_mul(t, r.Z, Z1Z1, f);
+    mont_mul(S2, q.Y, t, f);
+    mod_sub(H, U2, r.X, f);
+    mod_sub(rr, S2, r.Y, f);
+    if (is_zero4(H)) {
+        if (is_zero4(rr)) { jdouble(r, r, f); return; }
+        jset_identity(r, f);
+        return;
+    }
+    mont_sqr(HH, H, f);
+    mod_add(I, HH, HH, f);
+    mod_add(I, I, I, f);          // I = 4*HH
+    mont_mul(J, H, I, f);         // J = H*I
+    mod_add(rr, rr, rr, f);       // r = 2*(S2 - Y1)
+    mont_mul(V, r.X, I, f);       // V = X1*I
+    mont_sqr(t, rr, f);           // r^2
+    mod_sub(t, t, J, f);
+    mod_sub(t, t, V, f);
+    mod_sub(t, t, V, f);          // X3 = r^2 - J - 2V
+    mod_sub(t2, V, t, f);
+    mont_mul(t2, rr, t2, f);      // r*(V - X3)
+    u64 t3[4];
+    mont_mul(t3, r.Y, J, f);
+    mod_add(t3, t3, t3, f);       // 2*Y1*J
+    mod_sub(r.Y, t2, t3, f);
+    std::memcpy(r.X, t, 32);
+    mont_mul(t, r.Z, H, f);
+    mod_add(r.Z, t, t, f);        // Z3 = 2*Z1*H (madd-2007-bl)
+}
+
+static void msm_pippenger(int field_id, u64* out, const u64* pts,
+                          const u64* scalars, long n) {
+    const Field& f = g_fields[field_id];
+    // window size: ~log2(n) - 1, clamped
+    int c = 4;
+    long m = n;
+    while (m > 16) { c++; m >>= 1; }
+    if (c > 13) c = 13;
+    int n_windows = (256 + c - 1) / c;
+    long nbuckets = 1L << c;
+
+    // Montgomery affine copies
+    std::vector<APoint> ap(n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const u64* p = pts + 9 * i;
+        ap[i].inf = p[8] != 0;
+        if (!ap[i].inf) {
+            to_mont(ap[i].X, p, f);
+            to_mont(ap[i].Y, p + 4, f);
+        }
+    }
+
+    std::vector<JPoint> wsum(n_windows);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int w = 0; w < n_windows; w++) {
+        std::vector<JPoint> buckets(nbuckets);
+        std::vector<bool> used(nbuckets, false);
+        int bit0 = w * c;
+        for (long i = 0; i < n; i++) {
+            if (ap[i].inf) continue;
+            const u64* s = scalars + 4 * i;
+            // extract c bits starting at bit0
+            int limb = bit0 / 64, off = bit0 % 64;
+            u64 d = s[limb] >> off;
+            if (off + c > 64 && limb < 3) d |= s[limb + 1] << (64 - off);
+            d &= (nbuckets - 1);
+            if (!d) continue;
+            if (!used[d]) { jset_identity(buckets[d], f); used[d] = true; }
+            jadd_mixed(buckets[d], ap[i], f);
+        }
+        // suffix-sum reduction: sum_j j*B_j
+        JPoint running, total;
+        jset_identity(running, f);
+        jset_identity(total, f);
+        for (long j = nbuckets - 1; j >= 1; j--) {
+            if (used[j]) jadd(running, running, buckets[j], f);
+            jadd(total, total, running, f);
+        }
+        wsum[w] = total;
+    }
+
+    JPoint acc;
+    jset_identity(acc, f);
+    for (int w = n_windows - 1; w >= 0; w--) {
+        for (int d = 0; d < c && w != n_windows - 1; d++) jdouble(acc, acc, f);
+        jadd(acc, acc, wsum[w], f);
+    }
+    jto_affine(out, acc, f);
+}
+
+// --- NTT over the 2^k domain ------------------------------------------------
+// In-place radix-2 DIT over Montgomery-form data (B rows of n = 2^k values).
+// omega supplied in PLAIN form; twiddles precomputed per call.
+
+static void ntt_rows(int field_id, u64* data, long rows, int k,
+                     const u64* omega_plain, int inverse) {
+    const Field& f = g_fields[field_id];
+    long n = 1L << k;
+    u64 om[4];
+    to_mont(om, omega_plain, f);
+    // full twiddle table W[j] = omega^j, j < n/2 (Montgomery)
+    std::vector<u64> W(4 * (n / 2));
+    u64 one[4] = {1, 0, 0, 0};
+    to_mont(W.data(), one, f);
+    for (long j = 1; j < n / 2; j++)
+        mont_mul(W.data() + 4 * j, W.data() + 4 * (j - 1), om, f);
+    // bit-reversal permutation indices
+    std::vector<long> rev(n);
+    for (long i = 0; i < n; i++) {
+        long r = 0;
+        for (int b = 0; b < k; b++) r |= ((i >> b) & 1) << (k - 1 - b);
+        rev[i] = r;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long row = 0; row < rows; row++) {
+        u64* d = data + 4 * n * row;
+        for (long i = 0; i < n; i++) {
+            long r = rev[i];
+            if (r > i) {
+                u64 t[4];
+                std::memcpy(t, d + 4 * i, 32);
+                std::memcpy(d + 4 * i, d + 4 * r, 32);
+                std::memcpy(d + 4 * r, t, 32);
+            }
+        }
+        for (int s = 1; s <= k; s++) {
+            long mlen = 1L << s, half = mlen >> 1;
+            long tstep = n / mlen;  // twiddle stride
+            for (long g = 0; g < n; g += mlen) {
+                for (long j = 0; j < half; j++) {
+                    const u64* wj = W.data() + 4 * (j * tstep);
+                    u64* a = d + 4 * (g + j);
+                    u64* b = d + 4 * (g + j + half);
+                    u64 t[4];
+                    mont_mul(t, b, wj, f);
+                    mod_sub(b, a, t, f);
+                    mod_add(a, a, t, f);
+                }
+            }
+        }
+    }
+    if (inverse) {
+        // caller passes omega^{-1} as the twiddle root for an inverse
+        // transform; the flag only applies the final n^{-1} scaling.
+        u64 ninv[4];
+        u64 nv[4] = {(u64)n, 0, 0, 0};
+        u64 nm[4];
+        to_mont(nm, nv, f);
+        mont_inv(ninv, nm, f);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (long row = 0; row < rows; row++) {
+            u64* d = data + 4 * n * row;
+            for (long i = 0; i < n; i++) {
+                u64 t[4];
+                mont_mul(t, d + 4 * i, ninv, f);
+                std::memcpy(d + 4 * i, t, 32);
+            }
+        }
+    }
+}
+
+// --- Montgomery vector ops (data stays in Montgomery form across calls) -----
+
+extern "C" {
+
 // Batched MSM: out = sum_i [scalars[i]] pts[i]; pts n*9 u64, scalars n*4 u64.
 void taiga_ec_msm(int field_id, u64* out, const u64* pts, const u64* scalars,
                   long n) {
+    msm_pippenger(field_id, out, pts, scalars, n);
+}
+
+void taiga_vec_to_mont(int field_id, u64* out, const u64* a, long n) {
     const Field& f = g_fields[field_id];
-    JPoint acc;
-    jset_identity(acc, f);
-    for (long i = 0; i < n; i++) {
-        JPoint P, R;
-        jfrom_affine(P, pts + 9 * i, f);
-        jset_identity(R, f);
-        const u64* s = scalars + 4 * i;
-        int top = 255;
-        while (top >= 0 && !((s[top / 64] >> (top % 64)) & 1)) top--;
-        for (int b = top; b >= 0; b--) {
-            jdouble(R, R, f);
-            if ((s[b / 64] >> (b % 64)) & 1) jadd(R, R, P, f);
-        }
-        jadd(acc, acc, R, f);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) to_mont(out + 4 * i, a + 4 * i, f);
+}
+
+void taiga_vec_from_mont(int field_id, u64* out, const u64* a, long n) {
+    const Field& f = g_fields[field_id];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) from_mont(out + 4 * i, a + 4 * i, f);
+}
+
+// out = a op b elementwise (Montgomery form for mul). b may be a single
+// element broadcast when b_stride == 0.
+void taiga_vec_mul(int field_id, u64* out, const u64* a, const u64* b,
+                   long n, long b_stride) {
+    const Field& f = g_fields[field_id];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++)
+        mont_mul(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
+}
+
+void taiga_vec_add(int field_id, u64* out, const u64* a, const u64* b,
+                   long n, long b_stride) {
+    const Field& f = g_fields[field_id];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++)
+        mod_add(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
+}
+
+void taiga_vec_sub(int field_id, u64* out, const u64* a, const u64* b,
+                   long n, long b_stride) {
+    const Field& f = g_fields[field_id];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++)
+        mod_sub(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
+}
+
+// Inclusive cumulative product (Montgomery), sequential by nature.
+void taiga_vec_cumprod(int field_id, u64* out, const u64* a, long n) {
+    const Field& f = g_fields[field_id];
+    if (n == 0) return;
+    std::memcpy(out, a, 32);
+    for (long i = 1; i < n; i++)
+        mont_mul(out + 4 * i, out + 4 * (i - 1), a + 4 * i, f);
+}
+
+// Batched inversion (Montgomery trick): out_i = a_i^{-1}, a_i != 0.
+void taiga_vec_batch_inv(int field_id, u64* out, const u64* a, long n) {
+    const Field& f = g_fields[field_id];
+    if (n == 0) return;
+    std::vector<u64> pre(4 * n);
+    std::memcpy(pre.data(), a, 32);
+    for (long i = 1; i < n; i++)
+        mont_mul(pre.data() + 4 * i, pre.data() + 4 * (i - 1), a + 4 * i, f);
+    u64 inv[4];
+    mont_inv(inv, pre.data() + 4 * (n - 1), f);
+    for (long i = n - 1; i >= 1; i--) {
+        mont_mul(out + 4 * i, inv, pre.data() + 4 * (i - 1), f);
+        mont_mul(inv, inv, a + 4 * i, f);
     }
-    jto_affine(out, acc, f);
+    std::memcpy(out, inv, 32);
+}
+
+// out[1..n] = [1, x, x^2, ...]: n powers of x (Montgomery form).
+void taiga_vec_powers(int field_id, u64* out, const u64* x_mont, long n) {
+    const Field& f = g_fields[field_id];
+    if (n == 0) return;
+    u64 one[4] = {1, 0, 0, 0};
+    to_mont(out, one, f);
+    for (long i = 1; i < n; i++)
+        mont_mul(out + 4 * i, out + 4 * (i - 1), x_mont, f);
+}
+
+// Single Fermat inversion of one Montgomery element.
+void taiga_mont_inv_one(int field_id, u64* out, const u64* a) {
+    mont_inv(out, a, g_fields[field_id]);
+}
+
+// Forward/inverse NTT over rows (Montgomery form in/out).
+void taiga_ntt(int field_id, u64* data, long rows, int k,
+               const u64* omega_plain, int inverse) {
+    ntt_rows(field_id, data, rows, k, omega_plain, inverse);
+}
+
+// out = -a elementwise (mod p).
+void taiga_vec_neg(int field_id, u64* out, const u64* a, long n) {
+    const Field& f = g_fields[field_id];
+    u64 zero[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) mod_sub(out + 4 * i, zero, a + 4 * i, f);
+}
+
+// out (4 u64) = sum_i a_i mod p.
+void taiga_vec_sum(int field_id, u64* out, const u64* a, long n) {
+    const Field& f = g_fields[field_id];
+    u64 acc[4] = {0, 0, 0, 0};
+    for (long i = 0; i < n; i++) mod_add(acc, acc, a + 4 * i, f);
+    std::memcpy(out, acc, 32);
+}
+
+// Synthetic division: given coeffs a_0..a_{n-1} (Montgomery) and a point x
+// (Montgomery), write q with q_i st A(X) - A(x) = (X - x) q(X); q_{n-1} = 0.
+// Backward Horner: q_{n-2} = a_{n-1}; q_{i-1} = a_i + x*q_i.
+void taiga_poly_divide(int field_id, u64* out, const u64* coeffs,
+                       const u64* x_mont, long n) {
+    const Field& f = g_fields[field_id];
+    std::memset(out + 4 * (n - 1), 0, 32);
+    if (n < 2) return;
+    std::memcpy(out + 4 * (n - 2), coeffs + 4 * (n - 1), 32);
+    for (long i = n - 2; i >= 1; i--) {
+        u64 t[4];
+        mont_mul(t, out + 4 * i, x_mont, f);
+        mod_add(out + 4 * (i - 1), t, coeffs + 4 * i, f);
+    }
+}
+
+// Pointwise EC fold: out_i = lo_i + [scalar] hi_i over n affine plain-form
+// points (9 u64 rows); result normalized back to affine via batched
+// inversion. The IPA prover's generator fold.
+void taiga_ec_fold(int field_id, u64* out, const u64* lo, const u64* hi,
+                   const u64* scalar, long n) {
+    const Field& f = g_fields[field_id];
+    std::vector<JPoint> res(n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        JPoint H, R;
+        jfrom_affine(H, hi + 9 * i, f);
+        jset_identity(R, f);
+        for (int b = 255; b >= 0; b--) {
+            jdouble(R, R, f);
+            if ((scalar[b / 64] >> (b % 64)) & 1) jadd(R, R, H, f);
+        }
+        JPoint Lo;
+        jfrom_affine(Lo, lo + 9 * i, f);
+        jadd(res[i], Lo, R, f);
+    }
+    // batched affine normalization: invert all Z via Montgomery trick
+    std::vector<u64> zs(4 * n);
+    long m = 0;
+    std::vector<long> idx(n);
+    for (long i = 0; i < n; i++) {
+        if (!is_zero4(res[i].Z)) {
+            std::memcpy(zs.data() + 4 * m, res[i].Z, 32);
+            idx[m++] = i;
+        } else {
+            std::memset(out + 9 * i, 0, 64);
+            out[9 * i + 8] = 1;
+        }
+    }
+    if (m) {
+        std::vector<u64> zinv(4 * m);
+        // prefix products
+        std::vector<u64> pre(4 * m);
+        std::memcpy(pre.data(), zs.data(), 32);
+        for (long i = 1; i < m; i++)
+            mont_mul(pre.data() + 4 * i, pre.data() + 4 * (i - 1), zs.data() + 4 * i, f);
+        u64 inv[4];
+        mont_inv(inv, pre.data() + 4 * (m - 1), f);
+        for (long i = m - 1; i >= 1; i--) {
+            mont_mul(zinv.data() + 4 * i, inv, pre.data() + 4 * (i - 1), f);
+            mont_mul(inv, inv, zs.data() + 4 * i, f);
+        }
+        std::memcpy(zinv.data(), inv, 32);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (long j = 0; j < m; j++) {
+            long i = idx[j];
+            u64 zi2[4], zi3[4], t[4];
+            mont_sqr(zi2, zinv.data() + 4 * j, f);
+            mont_mul(zi3, zi2, zinv.data() + 4 * j, f);
+            mont_mul(t, res[i].X, zi2, f);
+            from_mont(out + 9 * i, t, f);
+            mont_mul(t, res[i].Y, zi3, f);
+            from_mont(out + 9 * i + 4, t, f);
+            out[9 * i + 8] = 0;
+        }
+    }
+}
+
+// Evaluate C coefficient rows at Q points: coeffs (C, n, 4) Montgomery,
+// points (Q, 4) Montgomery -> out (Q, C, 4) Montgomery. Horner, threaded.
+void taiga_poly_eval_many(int field_id, u64* out, const u64* coeffs,
+                          const u64* points, long C, long n, long Q) {
+    const Field& f = g_fields[field_id];
+#ifdef _OPENMP
+#pragma omp parallel for collapse(2) schedule(static)
+#endif
+    for (long q = 0; q < Q; q++) {
+        for (long c_i = 0; c_i < C; c_i++) {
+            const u64* x = points + 4 * q;
+            const u64* a = coeffs + 4 * n * c_i;
+            u64 acc[4] = {0, 0, 0, 0};
+            for (long j = n - 1; j >= 0; j--) {
+                u64 t[4];
+                mont_mul(t, acc, x, f);
+                mod_add(acc, t, a + 4 * j, f);
+            }
+            std::memcpy(out + 4 * (q * C + c_i), acc, 32);
+        }
+    }
 }
 
 }  // extern "C"

@@ -292,30 +292,70 @@ def _commit(params: Params, coeffs: list[int], blind: int) -> VestaPoint:
 
 
 def ipa_verify(
-    params: Params, commitment: VestaPoint, x: int, v: int, transcript: ProofReader
+    params: Params,
+    terms: list[tuple[VestaPoint, int]],
+    x: int,
+    v: int,
+    transcript: ProofReader,
+    claim=None,
 ) -> bool:
-    """Verify an opening of `commitment` to value v at point x."""
+    """Verify an IPA opening to value v at point x of the commitment given as
+    a weighted point list `terms` (the multiopen aggregate, kept unevaluated
+    so everything lands in ONE MSM). With `claim` (an MSMClaim), the check is
+    deferred into the claim (batch verification); otherwise it is evaluated
+    immediately — natively when the host engine is available, else via the
+    device MSM."""
     n, k = params.n, params.k
     c_s = transcript.read_point()
     xi = transcript.challenge(b"ipa-xi").v
     z = transcript.challenge(b"ipa-z").v
-    u_prime = params.u * z
-    p_acc = commitment + c_s * xi + u_prime * v
+    lr = []
     us = []
     for _ in range(k):
         l_pt = transcript.read_point()
         r_pt = transcript.read_point()
         u = transcript.challenge(b"ipa-u").v
         us.append(u)
-        p_acc = p_acc + l_pt * u + r_pt * pow(u, -1, P)
+        lr.append((l_pt, r_pt))
     a0 = transcript.read_scalar().v
     f = transcript.read_scalar().v
 
-    # b_0 = prod_j (1 + u_j^{-1} x^{n / 2^j});  s_i = prod_j u_j^{-bit_j(i)}
+    # b_0 = prod_j (1 + u_j^{-1} x^{n / 2^j})
     b0 = 1
     for j, u in enumerate(us):
         e = pow(x, n >> (j + 1), P)
         b0 = b0 * (1 + pow(u, -1, P) * e) % P
+
+    # Claim: P_acc - RHS == identity, with
+    #   P_acc = sum(terms) + xi*C_s + z*v*U + sum_j (u_j L_j + u_j^{-1} R_j)
+    #   RHS   = a0*<s, G> + z*(a0 b0)*U + f*W
+    from ..native import hostops as H
+    from .msm_claim import MSMClaim, s_vec_mont
+
+    if H.available():
+        own = claim is None
+        if own:
+            claim = MSMClaim(k)
+            claim.begin_proof(first=True)
+        for pt, sc in terms:
+            claim.add_term(pt, sc)
+        claim.add_term(c_s, xi)
+        claim.add_term(params.u, z * (v - a0 * b0) % P)
+        claim.add_term(params.w, (-f) % P)
+        for (l_pt, r_pt), u in zip(lr, us):
+            claim.add_term(l_pt, u)
+            claim.add_term(r_pt, pow(u, -1, P))
+        claim.add_g_vector_mont(s_vec_mont(us, k), (-a0) % P)
+        return claim.check() if own else True
+
+    # no native engine: evaluate everything via python/device point math
+    u_prime = params.u * z
+    p_acc = VestaPoint.identity()
+    for pt, sc in terms:
+        p_acc = p_acc + pt * sc
+    p_acc = p_acc + c_s * xi + u_prime * v
+    for (l_pt, r_pt), u in zip(lr, us):
+        p_acc = p_acc + l_pt * u + r_pt * pow(u, -1, P)
     s_vec = [1] * n
     for j, u in enumerate(us):
         u_inv = pow(u, -1, P)

@@ -36,14 +36,59 @@ from .transcript import ProofReader
 P = Fp.MODULUS
 
 
-def verify_proof(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
+def verify_proof(vk: VerifyingKey, instance: list[Fp], proof: bytes,
+                 claim=None) -> bool:
+    """Verify one proof. With `claim` (an MSMClaim), the final MSM check is
+    deferred into the claim — see BatchVerifier."""
     try:
-        return _verify(vk, instance, proof)
+        return _verify(vk, instance, proof, claim)
     except (ValueError, AssertionError, KeyError):
         return False
 
 
-def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
+class BatchVerifier:
+    """Batch proof verification: every added proof's transcript is replayed
+    and its vanishing identity checked immediately; the expensive MSM checks
+    combine (with independent random weights) into ONE native MSM evaluated
+    by finalize(). Counterpart of halo2's BatchVerifier — the reference
+    verifies each proof's IPA separately (~36 ms each, Perfromance.md:4)."""
+
+    def __init__(self):
+        self._claim = None
+        self._ok = True
+        self._count = 0
+
+    def add(self, vk: VerifyingKey, instance: list[Fp], proof: bytes):
+        from ..native import hostops as H
+        from .msm_claim import MSMClaim
+
+        if not H.available():
+            # no native engine: verify eagerly
+            self._ok = self._ok and verify_proof(vk, instance, proof)
+            return
+        if self._claim is None or self._claim.k != vk.k:
+            # claims share one SRS basis; a second domain size finalizes
+            # the current claim first
+            if self._claim is not None:
+                self._ok = self._ok and self._claim.check()
+            self._claim = MSMClaim(vk.k)
+            self._count = 0
+        self._claim.begin_proof(first=self._count == 0)
+        self._count += 1
+        self._ok = self._ok and verify_proof(vk, instance, proof, self._claim)
+
+    def finalize(self) -> bool:
+        ok = self._ok
+        if self._claim is not None:
+            ok = ok and self._claim.check()
+            self._claim = None
+        self._ok = True
+        self._count = 0
+        return ok
+
+
+def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
+            claim=None) -> bool:
     k, n, u = vk.k, vk.n, vk.usable_rows
     cs = vk.cs
     omega = vk.omega
@@ -113,14 +158,14 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
 
     agg = []
     for ptv in order:
-        c_acc = VestaPoint.identity()
+        terms_j = []
         val = 0
         vp = 1
         for c_pt, e in groups[ptv]:
-            c_acc = c_acc + c_pt * vp
+            terms_j.append((c_pt, vp))
             val = (val + vp * e) % P
             vp = vp * v_ch % P
-        agg.append({"point": ptv, "commitment": c_acc, "value": val})
+        agg.append({"point": ptv, "terms": terms_j, "value": val})
 
     u_ch = tr.challenge(b"mo-u").v
     c_h = tr.read_point()
@@ -138,13 +183,16 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes) -> bool:
         h_x3 = (h_x3 + up * (av - g["value"]) * pow(denom, -1, P)) % P
         up = up * u_ch % P
 
-    c_f = c_h
+    # keep the aggregate commitment as an unevaluated term list so the whole
+    # verification collapses into one MSM (msm_claim.py)
+    f_terms = [(c_h, 1)]
     v_f = h_x3
     wp = w_ch
     for g, av in zip(agg, a_vals):
-        c_f = c_f + g["commitment"] * wp
+        for pt, sc in g["terms"]:
+            f_terms.append((pt, sc * wp % P))
         v_f = (v_f + wp * av) % P
         wp = wp * w_ch % P
 
-    ok = ipa_verify(params, c_f, x3, v_f, tr)
+    ok = ipa_verify(params, f_terms, x3, v_f, tr, claim)
     return ok and tr.finished()
