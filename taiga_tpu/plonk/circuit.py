@@ -37,6 +37,19 @@ class Gate:
     poly: Expression
 
 
+@dataclass
+class Lookup:
+    """A lookup argument: each row's tuple of input-expression values must
+    appear among the rows of the table-expression tuple (halo2-style;
+    the reference compliance config carries a 2^10 lookup table,
+    compliance_circuit.rs:38-50). Input expressions should be selector-gated
+    so ungated rows evaluate to a tuple present in the table (all-zero by
+    convention)."""
+
+    name: str
+    pairs: list  # [(input_expr, table_expr)]
+
+
 class ConstraintSystem:
     """Static circuit shape: columns, gates, and which columns can be copied."""
 
@@ -45,6 +58,7 @@ class ConstraintSystem:
         self.num_advice = num_advice
         self.num_instance = num_instance
         self.gates: list[Gate] = []
+        self.lookups: list[Lookup] = []
 
     def fixed(self, i: int) -> Cell:
         assert 0 <= i < self.num_fixed
@@ -62,6 +76,15 @@ class ConstraintSystem:
         d = poly.degree()
         assert d <= MAX_GATE_DEGREE, f"gate {name} degree {d} > {MAX_GATE_DEGREE}"
         self.gates.append(Gate(name, poly))
+
+    def lookup(self, name: str, pairs):
+        """Register a lookup argument; pairs = [(input_expr, table_expr)].
+        The product constraint's degree is 2 + max(deg input, deg table) + 1,
+        which must stay within MAX_GATE_DEGREE."""
+        pairs = list(pairs)
+        d = max(max(i.degree() for i, _ in pairs), max(t.degree() for _, t in pairs))
+        assert d + 3 <= MAX_GATE_DEGREE, f"lookup {name} input degree {d} too high"
+        self.lookups.append(Lookup(name, pairs))
 
     def column_list(self) -> list[tuple[str, int]]:
         """All columns eligible for copy constraints, in canonical order."""

@@ -19,7 +19,7 @@ import numpy as np
 from ..crypto.fields import Fp
 from ..ops import limbs as L
 from .circuit import Circuit, CircuitBuilder
-from .expression import ADVICE, FIXED, INSTANCE, TableSet, eval_device
+from .expression import ADVICE, FIXED, INSTANCE, TableSet, eval_device, eval_host
 
 P = Fp.MODULUS
 
@@ -96,8 +96,28 @@ class MockProver:
                     f"gate '{gate.name}' not satisfied at rows {bad_rows[:8].tolist()}"
                     + ("..." if bad_rows.size > 8 else "")
                 )
-        # copy constraints
+        # lookup arguments: every usable row's input tuple must appear among
+        # the table tuples (halo2 MockProver checks lookups the same way)
         tables = {FIXED: b.fixed, ADVICE: b.advice, INSTANCE: [self.instance]}
+        usable = b.usable_rows
+        for lk in b.cs.lookups:
+            table_rows = set()
+            for r in range(usable):
+                table_rows.add(tuple(
+                    eval_host(tab, r, self.n, b.fixed, b.advice, [self.instance])
+                    for _, tab in lk.pairs
+                ))
+            for r in range(usable):
+                tup = tuple(
+                    eval_host(inp, r, self.n, b.fixed, b.advice, [self.instance])
+                    for inp, _ in lk.pairs
+                )
+                if tup not in table_rows:
+                    failures.append(
+                        f"lookup '{lk.name}' failed at row {r}: "
+                        f"{tuple(hex(v) for v in tup)} not in table"
+                    )
+        # copy constraints
         for (ak, ai, ar), (bk, bi, br) in b.copies:
             va = tables[ak][ai][ar]
             vb = tables[bk][bi][br]

@@ -31,8 +31,11 @@ L0 = "l0"
 LLAST = "llast"
 LBLIND = "lblind"
 QUOTIENT = "quotient"
+LOOKUP_A = "lk_a"  # permuted (sorted) compressed input column A'
+LOOKUP_S = "lk_s"  # permuted compressed table column S'
+LOOKUP_Z = "lk_z"  # lookup grand-product column
 
-COMMITTED_KINDS = (ADVICE, FIXED, SIGMA, Z, QUOTIENT)
+COMMITTED_KINDS = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
 NUM_H_PIECES = EXT_FACTOR - 1
 
 
@@ -48,7 +51,7 @@ def build_constraints(
     reusable across proofs (cache key = the constraint system, not the
     transcript)."""
     exprs: list[Expression] = [g.poly for g in cs.gates]
-    if not perm_cols:
+    if not perm_cols and not cs.lookups:
         return exprs
     beta = ChallengeVar("beta")
     gamma = ChallengeVar("gamma")
@@ -59,6 +62,30 @@ def build_constraints(
     xid = Cell(XID, 0)
     one = Constant(1)
     active = one - (llast + lblind)
+    # --- lookup arguments (halo2-style permuted pairs + product) ---------
+    theta = ChallengeVar("theta")
+    for li, lk in enumerate(cs.lookups):
+        a_in = None
+        s_tab = None
+        for inp, tab in lk.pairs:
+            a_in = inp if a_in is None else a_in * theta + inp
+            s_tab = tab if s_tab is None else s_tab * theta + tab
+        a_p = Cell(LOOKUP_A, li)
+        s_p = Cell(LOOKUP_S, li)
+        z = Cell(LOOKUP_Z, li)
+        exprs.append(l0 * (one - z))
+        exprs.append(llast * (z * z - z))
+        exprs.append(
+            active
+            * (
+                Cell(LOOKUP_Z, li, 1) * (a_p + beta) * (s_p + gamma)
+                - z * (a_in + beta) * (s_tab + gamma)
+            )
+        )
+        exprs.append(l0 * (a_p - s_p))
+        exprs.append(active * (a_p - s_p) * (a_p - Cell(LOOKUP_A, li, -1)))
+    if not perm_cols:
+        return exprs
     for c, chunk in enumerate(chunks):
         z = Cell(Z, c)
         if c == 0:
@@ -89,9 +116,10 @@ def collect_queries(exprs: list[Expression], num_fixed: int) -> list[tuple[str, 
     refs = set()
     for e in exprs:
         refs |= rotations_used(e)
+    order = {ADVICE: 0, FIXED: 1, SIGMA: 2, Z: 3, LOOKUP_A: 4, LOOKUP_S: 5, LOOKUP_Z: 6}
     queries = sorted(
-        (q for q in refs if q[0] in (ADVICE, FIXED, SIGMA, Z)),
-        key=lambda q: ({ADVICE: 0, FIXED: 1, SIGMA: 2, Z: 3}[q[0]], q[1], q[2]),
+        (q for q in refs if q[0] in order),
+        key=lambda q: (order[q[0]], q[1], q[2]),
     )
     # all fixed columns are opened even if unreferenced? no — only referenced.
     queries += [(QUOTIENT, i, 0) for i in range(NUM_H_PIECES)]

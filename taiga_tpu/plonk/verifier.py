@@ -19,6 +19,9 @@ from .protocol import (
     L0,
     LBLIND,
     LLAST,
+    LOOKUP_A,
+    LOOKUP_S,
+    LOOKUP_Z,
     NUM_H_PIECES,
     QUOTIENT,
     SIGMA,
@@ -102,15 +105,23 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
         tr.absorb_scalar(Fp(v))
 
     advice_c = [tr.read_point() for _ in range(cs.num_advice)]
+    theta = 0
+    lk_ap_c, lk_sp_c = [], []
+    if cs.lookups:
+        theta = tr.challenge(b"theta").v
+        for _ in cs.lookups:
+            lk_ap_c.append(tr.read_point())
+            lk_sp_c.append(tr.read_point())
     beta = tr.challenge(b"beta").v
     gamma = tr.challenge(b"gamma").v
     z_c = [tr.read_point() for _ in range(num_chunks(vk.perm_cols))]
+    lk_z_c = [tr.read_point() for _ in cs.lookups]
     y = tr.challenge(b"y").v
     h_c = [tr.read_point() for _ in range(NUM_H_PIECES)]
     x = tr.challenge(b"x").v
 
     exprs = build_constraints(cs, vk.perm_cols, u)
-    challenges = {"beta": beta, "gamma": gamma}
+    challenges = {"beta": beta, "gamma": gamma, "theta": theta}
     queries = collect_queries(exprs, cs.num_fixed)
     evals = {}
     for q in queries:
@@ -143,6 +154,12 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
         commitments[(SIGMA, i)] = c
     for i, c in enumerate(z_c):
         commitments[(Z, i)] = c
+    for i, c in enumerate(lk_ap_c):
+        commitments[(LOOKUP_A, i)] = c
+    for i, c in enumerate(lk_sp_c):
+        commitments[(LOOKUP_S, i)] = c
+    for i, c in enumerate(lk_z_c):
+        commitments[(LOOKUP_Z, i)] = c
     for i, c in enumerate(h_c):
         commitments[(QUOTIENT, i)] = c
 

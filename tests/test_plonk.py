@@ -104,6 +104,27 @@ def test_verify_rejects_tampered_proof(pk):
     assert not verify_proof(pk.vk, inst, bytes(proof[:-32]))
 
 
+def test_batch_verifier(pk):
+    from taiga_tpu.plonk.verifier import BatchVerifier
+
+    out = _expected_out(3, 4)
+    inst = [Fp(3), Fp(4), out]
+    p1 = create_proof(pk, FibCircuit(3, 4), inst)
+    p2 = create_proof(pk, FibCircuit(3, 4), inst)
+    bv = BatchVerifier()
+    bv.add(pk.vk, inst, p1)
+    bv.add(pk.vk, inst, p2)
+    assert bv.finalize()
+    # a wrong-instance proof poisons the batch
+    bv = BatchVerifier()
+    bv.add(pk.vk, inst, p1)
+    bv.add(pk.vk, [Fp(3), Fp(4), out + Fp.one()], p2)
+    assert not bv.finalize()
+    # finalize resets state
+    bv.add(pk.vk, inst, p1)
+    assert bv.finalize()
+
+
 def test_proofs_are_randomized(pk):
     out = _expected_out(3, 4)
     inst = [Fp(3), Fp(4), out]
