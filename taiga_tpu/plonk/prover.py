@@ -42,6 +42,9 @@ from .protocol import (
     L0,
     LBLIND,
     LLAST,
+    LOOKUP_A,
+    LOOKUP_S,
+    LOOKUP_Z,
     NUM_H_PIECES,
     QUOTIENT,
     SIGMA,
@@ -153,6 +156,8 @@ class ProverPipeline:
         self._static = None
         self._quotient_jit = None
         self._z_jit = None
+        self._lookup_as_jit = None
+        self._lookup_z_jit = None
 
     # --- static device tables -----------------------------------------
     def static_tables(self):
@@ -305,47 +310,174 @@ class ProverPipeline:
             rand_rows,
         )
 
+    # --- lookup argument --------------------------------------------------
+    def lookup_as_values(self, advice_v, inst_v, theta: int):
+        """Compressed input/table value columns for every lookup, over the
+        base domain: returns (A, S) each (L, n, 16) Montgomery."""
+        st = self.static_tables()
+        if self._lookup_as_jit is None:
+            from .expression import TableSet, eval_device
+
+            lookups = self.pk.vk.cs.lookups
+
+            def asfn(fixed_v, advice_v, inst_v, theta_m):
+                ts = TableSet(fixed_v, advice_v, inst_v, rot_scale=1)
+                ch = {"theta": theta_m}
+                a_rows, s_rows = [], []
+                for lk in lookups:
+                    a = None
+                    s = None
+                    for inp, tab in lk.pairs:
+                        ai = eval_device(inp, ts, ch)
+                        ti = eval_device(tab, ts, ch)
+                        a = ai if a is None else L.add(
+                            L.mont_mul(a, theta_m, L.FP), ai, L.FP
+                        )
+                        s = ti if s is None else L.add(
+                            L.mont_mul(s, theta_m, L.FP), ti, L.FP
+                        )
+                    a_rows.append(a)
+                    s_rows.append(s)
+                return jnp.stack(a_rows), jnp.stack(s_rows)
+
+            self._lookup_as_jit = jax.jit(asfn)
+        return self._lookup_as_jit(
+            st["fixed_v"], advice_v, inst_v, _mont_scalar(theta)
+        )
+
+    def lookup_z_values(self, a_v, s_v, ap_v, sp_v, beta: int, gamma: int):
+        """Lookup grand products: Z[0]=1, Z[i+1]=Z[i]*(A+beta)(S+gamma) /
+        ((A'+beta)(S'+gamma)) over usable rows; blinding rows random.
+        All inputs (L, n, 16) Montgomery."""
+        n, u = self.n, self.u
+        nlk = a_v.shape[0]
+        rand_rows = jnp.asarray(
+            np.stack([
+                L.FP.array_to_mont([_rand() for _ in range(n - u - 1)])
+                for _ in range(nlk)
+            ])
+        )
+        if self._lookup_z_jit is None:
+            zu = u
+
+            def lzfn(a_v, s_v, ap_v, sp_v, beta_m, gamma_m, rand_rows):
+                num = L.mont_mul(
+                    L.add(a_v, beta_m, L.FP), L.add(s_v, gamma_m, L.FP), L.FP
+                )
+                den = L.mont_mul(
+                    L.add(ap_v, beta_m, L.FP), L.add(sp_v, gamma_m, L.FP), L.FP
+                )
+                num_cp = jax.vmap(lambda t: poly.mont_cumprod(t, "fp"))(num)
+                den_sfx = jnp.flip(
+                    jax.vmap(lambda t: poly.mont_cumprod(t, "fp"))(
+                        jnp.flip(den, axis=1)
+                    ),
+                    axis=1,
+                )
+                total = den_sfx[:, 0]
+                inv_total = L.mont_inv(total, L.FP)
+                one_row = jnp.broadcast_to(
+                    jnp.asarray(L.FP.one_mont, jnp.uint32),
+                    (den_sfx.shape[0], 1, L.NLIMBS),
+                )
+                sfx_excl = jnp.concatenate([den_sfx[:, 1:], one_row], axis=1)
+                den_cp_inv = L.mont_mul(sfx_excl, inv_total[:, None, :], L.FP)
+                cps = L.mont_mul(num_cp, den_cp_inv, L.FP)  # (L, n, 16)
+                ones = jnp.broadcast_to(
+                    jnp.asarray(L.FP.one_mont, jnp.uint32),
+                    (cps.shape[0], 1, L.NLIMBS),
+                )
+                return jnp.concatenate([ones, cps[:, :zu], rand_rows], axis=1)
+
+            self._lookup_z_jit = jax.jit(lzfn)
+        return self._lookup_z_jit(
+            a_v, s_v, ap_v, sp_v, _mont_scalar(beta), _mont_scalar(gamma),
+            rand_rows,
+        )
+
     # --- quotient -------------------------------------------------------
+    # Evaluated in CHUNKS of expressions, each its own jitted program: XLA
+    # compile time is superlinear in graph size, and the full constraint
+    # list (user gates + lookups + permutation) in one graph made the
+    # quotient the dominant compile. Chunks combine on host with
+    # acc <- acc * y^len + partial; runtime cost is a handful of extra
+    # full-domain axpys. Identical chunks across proving keys hit the
+    # persistent compilation cache (same HLO).
+    QUOTIENT_CHUNK = 10
+
+    def _quotient_chunk_fn(self, grp):
+        rot_scale = EXT_FACTOR
+
+        def qfn(fixed_e, sigma_e, advice_e, inst_e, z_e, lk_a_e, lk_s_e,
+                lk_z_e, xid, l0, llast, lblind, beta_m, gamma_m, y_m,
+                theta_m):
+            ts = TableSet(None, None, None, rot_scale=rot_scale)
+            ts.tables = {
+                FIXED: fixed_e,
+                ADVICE: advice_e,
+                INSTANCE: inst_e,
+                SIGMA: sigma_e,
+                Z: z_e,
+                LOOKUP_A: lk_a_e,
+                LOOKUP_S: lk_s_e,
+                LOOKUP_Z: lk_z_e,
+                XID: xid[None],
+                L0: l0[None],
+                LLAST: llast[None],
+                LBLIND: lblind[None],
+            }
+            ch = {"beta": beta_m, "gamma": gamma_m, "theta": theta_m}
+            acc = None
+            for e in grp:
+                val = eval_device(e, ts, ch)
+                acc = val if acc is None else L.add(
+                    L.mont_mul(acc, y_m, L.FP), val, L.FP
+                )
+            return acc
+
+        return jax.jit(qfn)
+
     def quotient_coeffs(
-        self, advice_e, inst_e, z_e, beta: int, gamma: int, y: int
+        self, advice_e, inst_e, z_e, beta: int, gamma: int, y: int,
+        theta: int = 0, lk_a_e=None, lk_s_e=None, lk_z_e=None,
     ):
         st = self.static_tables()
+        has_lk = bool(self.pk.vk.cs.lookups)
         if self._quotient_jit is None:
-            exprs = self.exprs
-            rot_scale = EXT_FACTOR
+            m = self.QUOTIENT_CHUNK
+            groups = [
+                tuple(self.exprs[i : i + m]) for i in range(0, len(self.exprs), m)
+            ]
+            k3 = self.k + 3
 
-            def qfn(fixed_e, sigma_e, advice_e, inst_e, z_e, xid, l0, llast,
-                    lblind, zh_inv, beta_m, gamma_m, y_m):
-                ts = TableSet(None, None, None, rot_scale=rot_scale)
-                ts.tables = {
-                    FIXED: fixed_e,
-                    ADVICE: advice_e,
-                    INSTANCE: inst_e,
-                    SIGMA: sigma_e,
-                    Z: z_e,
-                    XID: xid[None],
-                    L0: l0[None],
-                    LLAST: llast[None],
-                    LBLIND: lblind[None],
-                }
-                ch = {"beta": beta_m, "gamma": gamma_m}
-                acc = None
-                for e in exprs:
-                    val = eval_device(e, ts, ch)
-                    acc = val if acc is None else L.add(
-                        L.mont_mul(acc, y_m, L.FP), val, L.FP
-                    )
-                acc = L.mont_mul(acc, zh_inv, L.FP)
-                return ntt.coset_intt(acc, qfn_k + 3, "fp")
+            def finish(acc, zh_inv):
+                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
 
-            qfn_k = self.k
-            self._quotient_jit = jax.jit(qfn)
+            self._quotient_jit = (
+                [(len(g), self._quotient_chunk_fn(g)) for g in groups],
+                jax.jit(finish),
+            )
 
-        return self._quotient_jit(
+        if not has_lk:
+            ne = self.n * EXT_FACTOR
+            empty = jnp.zeros((0, ne, L.NLIMBS), jnp.uint32)
+            lk_a_e = lk_s_e = lk_z_e = empty
+        chunks, finish = self._quotient_jit
+        args = (
             st["fixed_e"], st["sigma_e"], advice_e, inst_e, z_e,
-            st["xid"], st["l0"], st["llast"], st["lblind"], st["zh_inv"],
+            lk_a_e, lk_s_e, lk_z_e,
+            st["xid"], st["l0"], st["llast"], st["lblind"],
             _mont_scalar(beta), _mont_scalar(gamma), _mont_scalar(y),
+            _mont_scalar(theta),
         )
+        acc = None
+        for glen, fn in chunks:
+            partial = fn(*args)
+            if acc is None:
+                acc = partial
+            else:
+                acc = _axpy_acc_jit(partial, acc, _mont_scalar(pow(y, glen, P)))
+        return finish(acc, st["zh_inv"])
 
 
 def get_pipeline(pk: ProvingKey) -> ProverPipeline:
@@ -368,6 +500,12 @@ def _axpy_jit(acc, v, w_m):
 
 
 @jax.jit
+def _axpy_acc_jit(partial, acc, y_pow_m):
+    """partial + acc * y^len — the quotient chunk combiner."""
+    return L.add(partial, L.mont_mul(acc, y_pow_m, L.FP), L.FP)
+
+
+@jax.jit
 def _scale_jit(v, w_m):
     return L.mont_mul(v, w_m, L.FP)
 
@@ -384,12 +522,65 @@ def _cols_to_mont_dev(cols: list[list[int]]):
     return _to_mont_jit(jnp.asarray(plain))
 
 
+def _mont_rows_to_ints(rows_mont) -> list[list[int]]:
+    """(C, n, 16) device Montgomery -> host int columns."""
+    plain = np.asarray(jax.device_get(_from_mont_jit(rows_mont)))
+    return [
+        L.limbs_to_ints(plain[c]) for c in range(plain.shape[0])
+    ]
+
+
+def _permute_lookup_pair(a_vals: list[int], s_vals: list[int], u: int):
+    """halo2 lookup::permute_expression_pair: sort the input column so equal
+    values are adjacent; build S' with each run-start row holding the matching
+    table value (error if absent) and the rest filled with leftover table
+    rows. Only the first u (usable) rows participate."""
+    from collections import Counter
+
+    a_sorted = sorted(a_vals[:u])
+    leftover = Counter(s_vals[:u])
+    s_perm: list[int | None] = [None] * u
+    for i, v in enumerate(a_sorted):
+        if i == 0 or v != a_sorted[i - 1]:
+            if leftover[v] <= 0:
+                raise ValueError(f"lookup failure: input value {v:#x} not in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+    fill = (val for val, cnt in leftover.items() for _ in range(cnt))
+    for i in range(u):
+        if s_perm[i] is None:
+            s_perm[i] = next(fill)
+    return a_sorted, s_perm
+
+
 # ---------------------------------------------------------------------------
 # main prover
 # ---------------------------------------------------------------------------
 
 
+def _use_host_prover() -> bool:
+    """Prefer the zero-compile native prover on CPU backends (tests, CPU-only
+    deployments); the XLA path is the TPU throughput backend.
+    TAIGA_HOST_PROVER=0/1 overrides."""
+    from ..native import hostops as H
+
+    if not H.available():
+        return False
+    v = os.environ.get("TAIGA_HOST_PROVER")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "cpu"
+
+
 def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
+    if _use_host_prover():
+        from .host_prover import create_proof_host
+
+        return create_proof_host(pk, circuit, instance)
+    return _create_proof_device(pk, circuit, instance)
+
+
+def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     vk = pk.vk
     k, n, u = vk.k, vk.n, vk.usable_rows
     omega = vk.omega
@@ -423,6 +614,36 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         tr.write_point(pt)
     st_t.mark("advice commit")
 
+    # --- lookup permuted columns (halo2 lookup::commit_permuted) -------
+    lookups = vk.cs.lookups
+    theta = 0
+    lk_a_v = lk_s_v = lk_ap_v = lk_sp_v = None
+    lk_ap_c = lk_sp_c = None
+    lk_ap_blinds = lk_sp_blinds = []
+    inst_v = _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col))[None])
+    if lookups:
+        theta = tr.challenge(b"theta").v
+        lk_a_v, lk_s_v = pipe.lookup_as_values(advice_v, inst_v, theta)
+        a_host = _mont_rows_to_ints(lk_a_v)
+        s_host = _mont_rows_to_ints(lk_s_v)
+        ap_cols, sp_cols = [], []
+        for a_col, s_col in zip(a_host, s_host):
+            ap, sp = _permute_lookup_pair(a_col, s_col, u)
+            ap_cols.append(ap + [_rand() for _ in range(n - u)])
+            sp_cols.append(sp + [_rand() for _ in range(n - u)])
+        lk_ap_v = _cols_to_mont_dev(ap_cols)
+        lk_sp_v = _cols_to_mont_dev(sp_cols)
+        lk_ap_c = pipe.values_to_coeffs(lk_ap_v)
+        lk_sp_c = pipe.values_to_coeffs(lk_sp_v)
+        lk_ap_blinds = [_rand() for _ in lookups]
+        lk_sp_blinds = [_rand() for _ in lookups]
+        ap_pts = pipe.commit_coeff_rows(lk_ap_c, lk_ap_blinds)
+        sp_pts = pipe.commit_coeff_rows(lk_sp_c, lk_sp_blinds)
+        for a_pt, s_pt in zip(ap_pts, sp_pts):
+            tr.write_point(a_pt)
+            tr.write_point(s_pt)
+        st_t.mark("lookup permuted commit")
+
     beta = tr.challenge(b"beta").v
     gamma = tr.challenge(b"gamma").v
 
@@ -444,18 +665,33 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     z_blinds = [_rand() for _ in range(z_v.shape[0])]
     for pt in pipe.commit_coeff_rows(z_c, z_blinds):
         tr.write_point(pt)
+    lk_z_c = None
+    lk_z_blinds = []
+    if lookups:
+        lk_z_v = pipe.lookup_z_values(lk_a_v, lk_s_v, lk_ap_v, lk_sp_v, beta, gamma)
+        lk_z_c = pipe.values_to_coeffs(lk_z_v)
+        lk_z_blinds = [_rand() for _ in lookups]
+        for pt in pipe.commit_coeff_rows(lk_z_c, lk_z_blinds):
+            tr.write_point(pt)
     st_t.mark("z commit")
 
     y = tr.challenge(b"y").v
 
     # --- quotient -----------------------------------------------------
-    inst_v = _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col))[None])
     inst_c = pipe.values_to_coeffs(inst_v)
     advice_e = pipe.to_ext(advice_c)
     inst_e = pipe.to_ext(inst_c)
     z_e = pipe.to_ext(z_c)
+    lk_kwargs = {}
+    if lookups:
+        lk_kwargs = dict(
+            theta=theta,
+            lk_a_e=pipe.to_ext(lk_ap_c),
+            lk_s_e=pipe.to_ext(lk_sp_c),
+            lk_z_e=pipe.to_ext(lk_z_c),
+        )
     st_t.mark("extend advice/inst/z", advice_e, inst_e, z_e)
-    h_all = pipe.quotient_coeffs(advice_e, inst_e, z_e, beta, gamma, y)
+    h_all = pipe.quotient_coeffs(advice_e, inst_e, z_e, beta, gamma, y, **lk_kwargs)
     # degree check: pieces beyond NUM_H_PIECES*n must vanish
     tail = _from_mont_jit(h_all[NUM_H_PIECES * n :])
     assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
@@ -470,34 +706,59 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
 
     # --- stack all committed coefficient tables -----------------------
     # order must match collect_queries kinds
+    empty_c = jnp.zeros((0, n, L.NLIMBS), jnp.uint32)
     kind_stacks = {
         ADVICE: (advice_c, advice_blinds),
         FIXED: (st["fixed_c"], [0] * st["fixed_c"].shape[0]),
         SIGMA: (st["sigma_c"], [0] * st["sigma_c"].shape[0]),
         Z: (z_c, z_blinds),
+        LOOKUP_A: (lk_ap_c if lookups else empty_c, lk_ap_blinds),
+        LOOKUP_S: (lk_sp_c if lookups else empty_c, lk_sp_blinds),
+        LOOKUP_Z: (lk_z_c if lookups else empty_c, lk_z_blinds),
         QUOTIENT: (h_pieces, h_blinds),
     }
+    kind_order = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
 
-    # --- evaluations at the query points (device, batched) ------------
+    # --- evaluations at the query points (batched) --------------------
+    from ..native import FIELD_FP as _NFP, hostops as H
+
     queries = pipe.queries
     rotset = sorted({rot % n for (_, _, rot) in queries})
     points = {rot: x * pow(omega, rot, P) % P for rot in rotset}
-    pts_mont = jnp.stack([_mont_scalar(points[rot]) for rot in rotset])
-    all_coeffs = jnp.concatenate([kind_stacks[kd][0] for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT) if kind_stacks[kd][0].shape[0]], axis=0)
+    all_coeffs = jnp.concatenate(
+        [kind_stacks[kd][0] for kd in kind_order if kind_stacks[kd][0].shape[0]],
+        axis=0,
+    )
     offsets = {}
     off = 0
-    for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT):
+    for kd in kind_order:
         offsets[kd] = off
         off += kind_stacks[kd][0].shape[0]
-    evals_dev = poly.eval_polys_at_points(all_coeffs, pts_mont)  # (Q, C, 16)
     evals_host = {}
-    ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
-    for qi, rot in enumerate(rotset):
-        row = ev_np[qi]
-        for kd in (ADVICE, FIXED, SIGMA, Z, QUOTIENT):
-            base = offsets[kd]
-            for ci in range(kind_stacks[kd][0].shape[0]):
-                evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
+    coeffs_host = None
+    if H.available():
+        # device Montgomery 16-limb -> host Montgomery u64 (pure bit view);
+        # also reused by the native multiopen below
+        coeffs_host = H.u16_to_u64(np.asarray(jax.device_get(all_coeffs)))
+        pts = H.to_mont(_NFP, H.ints_to_u64([points[rot] for rot in rotset]))
+        ev = H.from_mont(_NFP, H.poly_eval_many(_NFP, coeffs_host, pts))
+        ev_ints = H.u64_to_ints(ev)
+        ncols = all_coeffs.shape[0]
+        for qi, rot in enumerate(rotset):
+            for kd in kind_order:
+                base = offsets[kd]
+                for ci in range(kind_stacks[kd][0].shape[0]):
+                    evals_host[(kd, ci, rot)] = ev_ints[qi * ncols + base + ci]
+    else:
+        pts_mont = jnp.stack([_mont_scalar(points[rot]) for rot in rotset])
+        evals_dev = poly.eval_polys_at_points(all_coeffs, pts_mont)  # (Q, C, 16)
+        ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
+        for qi, rot in enumerate(rotset):
+            row = ev_np[qi]
+            for kd in kind_order:
+                base = offsets[kd]
+                for ci in range(kind_stacks[kd][0].shape[0]):
+                    evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
 
     evals = {}
     for kind, idx, rot in queries:
@@ -517,7 +778,18 @@ def create_proof(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
                 "value": evals[(kind, idx, rot)],
             }
         )
-    multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
+    if coeffs_host is not None:
+        # native aggregation + IPA open: zero XLA compile (the device
+        # multiopen/IPA was the pipeline's largest compile) and faster at
+        # taiga's domain sizes
+        from .native_open import multiopen_open_native
+
+        for e in entries:
+            kind, ci = e["coeff_ref"]
+            e["coeff_idx"] = offsets[kind] + ci
+        multiopen_open_native(k, coeffs_host, entries, tr)
+    else:
+        multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
     st_t.mark("multiopen + IPA")
     return tr.bytes()
 
