@@ -94,7 +94,8 @@ class ComplianceCircuit(Circuit):
         eph_in = G.witness_cell(b, w((1 if inp.is_ephemeral else 0) if info else None))
         rseed_in = G.witness_cell(b, w(inp.rseed.v if info else None))
         G.is_bool(b, eph_in)
-        G.range_check(b, quantity_in, 64)
+        # u64 range check; the bits are reused by the delta scalar mul below
+        q_in_bits = G.decompose_bits(b, quantity_in, 64)
 
         npk_in = G.poseidon_hash2_gadget(b, nk, zero)
         psi_in = G.poseidon_hash_n_gadget(
@@ -140,7 +141,7 @@ class ComplianceCircuit(Circuit):
         eph_out = G.witness_cell(b, w((1 if out.is_ephemeral else 0) if info else None))
         rseed_out = G.witness_cell(b, w(out.rseed.v if info else None))
         G.is_bool(b, eph_out)
-        G.range_check(b, quantity_out, 64)
+        q_out_bits = G.decompose_bits(b, quantity_out, 64)
         # output nonce = input nullifier (compliance.rs:128-153)
         nonce_out = nf
         psi_out = G.poseidon_hash_n_gadget(
@@ -164,26 +165,36 @@ class ComplianceCircuit(Circuit):
 
         kin = derive_kind_gadget(b, logic_in, label_in, one)
         kout = derive_kind_gadget(b, logic_out, label_out, one)
-        q_in_bits = G.decompose_bits(b, quantity_in, 64)
-        q_out_bits = G.decompose_bits(b, quantity_out, 64)
         rcv_val = None if info is None else info.get_rcv().v
         rcv = G.witness_cell(b, rcv_val)
-        # NOTE: rcv is a Pallas *scalar*; since q > p the 255-bit witness can
-        # not overflow Fp; decompose to 255 bits for the fixed-base mul.
-        rcv_bits = G.decompose_bits(b, rcv, 255)
+        # rcv is a Pallas scalar sampled < p by construction (RandomSeed.
+        # get_rcv), so its canonical (< p) 255-bit decomposition IS the
+        # scalar's integer — two distinct decompositions of the same cell
+        # (v and v+p) are ruled out by decompose_canonical_255, closing the
+        # delta-malleability of a non-canonical split.
+        from .ec_gadgets import decompose_canonical_255
 
-        blind = _blind_base()
-        p1 = ec_scalar_mul_gadget(b, kin, q_in_bits, blind)
-        p2 = ec_scalar_mul_gadget(b, kout, q_out_bits, blind * 7)
+        rcv_bits = decompose_canonical_255(b, rcv)
+
+        # delta = [q_in]K_in - [q_out]K_out + [rcv]R in ONE blinded
+        # simultaneous double-and-add — robust to the balanced case where
+        # [q]K_in and [q]K_out cancel exactly (incomplete adds never see
+        # P + (-P); see ec_multi_scalar_mul_gadget)
+        from .ec_gadgets import ec_multi_scalar_mul_gadget, ec_neg_point
+
         r_gen = resource_commitment_r_generator()
         r_cells = _PointCells(
             G.constant_cell(b, r_gen.x.v), G.constant_cell(b, r_gen.y.v)
         )
-        p3 = ec_scalar_mul_gadget(b, r_cells, rcv_bits, blind * 11)
-        # delta = p1 - p2 + p3
-        neg_p2 = _PointCells(p2.x, G.sub_cells(b, zero, p2.y))
-        d12 = ec_add_gadget(b, p1, neg_p2)
-        delta = ec_add_gadget(b, d12, p3)
+        delta = ec_multi_scalar_mul_gadget(
+            b,
+            [
+                (kin, q_in_bits),
+                (ec_neg_point(b, kout), q_out_bits),
+                (r_cells, rcv_bits),
+            ],
+            _blind_base(),
+        )
         b.constrain_instance(delta.x, 3)
         b.constrain_instance(delta.y, 4)
 

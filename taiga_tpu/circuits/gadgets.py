@@ -36,14 +36,18 @@ from ..plonk.expression import Constant
 P = Fp.MODULUS
 
 NUM_ADVICE = 12
-NUM_FIXED = 16
+# 16 standard + 13 spread-lookup columns (spread.py SC) + 9 extra poseidon
+# round-constant columns (4 rounds per row x 3 lanes) + cond-swap selector
+NUM_FIXED = 39
 
 # fixed column indices
 QL, QR, QM, QO, QC = 0, 1, 2, 3, 4
 RC0, RC1, RC2 = 5, 6, 7
-Q_POS_FULL, Q_POS_PART = 8, 9
+Q_POS_4F, Q_POS_4P = 8, 9  # poseidon 4-full / 4-partial rounds per row
 Q_BITS, Q_XOR, Q_RECOMP = 10, 11, 12
 Q_EC_ADD, Q_EC_DBL, Q_EC_SEL_ADD = 13, 14, 15
+RC_EXT = list(range(29, 38))  # RC3..RC11 (transitions 1..3 of a packed row)
+Q_SWAP = 38  # conditional swap (merkle levels), one row
 
 BIT_COLS = list(range(3, 11))  # a3..a10
 WORD_COL = 11
@@ -60,29 +64,42 @@ def configure_standard(cs: ConstraintSystem):
         f[QL] * a[0] + f[QR] * a[1] + f[QM] * a[0] * a[1] + f[QO] * a[2] + f[QC],
     )
 
-    # poseidon rounds: state (a0,a1,a2) at row r -> row r+1
+    # poseidon, 4 rounds per row: states S0..S3 live in (a0..a2), (a3..a5),
+    # (a6..a8), (a9..a11) of row r; S4 is (a0..a2) of row r+1. Transition t
+    # uses round constants at columns (RC0..RC2) for t=0 and RC_EXT for
+    # t=1..3. Gate degree: selector * MDS(sbox) = 6.
     mds = hp.MDS
 
     def sbox(x):
         x2 = x * x
         return x2 * x2 * x
 
-    full_in = [sbox(a[i] + f[RC0 + i]) for i in range(3)]
-    part_in = [sbox(a[0] + f[RC0]), a[1] + f[RC1], a[2] + f[RC2]]
-    for i in range(3):
-        nxt = a[i].at(1)
-        full_out = (
-            Constant(mds[i][0]) * full_in[0]
-            + Constant(mds[i][1]) * full_in[1]
-            + Constant(mds[i][2]) * full_in[2]
-        )
-        part_out = (
-            Constant(mds[i][0]) * part_in[0]
-            + Constant(mds[i][1]) * part_in[1]
-            + Constant(mds[i][2]) * part_in[2]
-        )
-        cs.create_gate(f"pos_full_{i}", f[Q_POS_FULL] * (full_out - nxt))
-        cs.create_gate(f"pos_part_{i}", f[Q_POS_PART] * (part_out - nxt))
+    rc_cols = [RC0, RC1, RC2] + RC_EXT  # 12 = 4 transitions x 3 lanes
+
+    def state(t):
+        if t < 4:
+            return [a[3 * t + i] for i in range(3)]
+        return [a[i].at(1) for i in range(3)]
+
+    for t in range(4):
+        s_in = state(t)
+        s_out = state(t + 1)
+        rcs = [f[rc_cols[3 * t + i]] for i in range(3)]
+        full_in = [sbox(s_in[i] + rcs[i]) for i in range(3)]
+        part_in = [sbox(s_in[0] + rcs[0]), s_in[1] + rcs[1], s_in[2] + rcs[2]]
+        for i in range(3):
+            full_out = (
+                Constant(mds[i][0]) * full_in[0]
+                + Constant(mds[i][1]) * full_in[1]
+                + Constant(mds[i][2]) * full_in[2]
+            )
+            part_out = (
+                Constant(mds[i][0]) * part_in[0]
+                + Constant(mds[i][1]) * part_in[1]
+                + Constant(mds[i][2]) * part_in[2]
+            )
+            cs.create_gate(f"pos4f_{t}_{i}", f[Q_POS_4F] * (full_out - s_out[i]))
+            cs.create_gate(f"pos4p_{t}_{i}", f[Q_POS_4P] * (part_out - s_out[i]))
 
     # bits: a3..a10 boolean
     for i, c in enumerate(BIT_COLS):
@@ -112,8 +129,37 @@ def configure_standard(cs: ConstraintSystem):
     cs.create_gate("ec_dbl_1", f[Q_EC_DBL] * (Constant(2) * dy1 * dlam - Constant(3) * dx1 * dx1))
     cs.create_gate("ec_dbl_2", f[Q_EC_DBL] * (dlam * dlam - Constant(2) * dx1 - dx3))
     cs.create_gate("ec_dbl_3", f[Q_EC_DBL] * (dlam * (dx1 - dx3) - dy1 - dy3))
-    # conditional point selection is composed from select_cell (vanilla rows);
-    # Q_EC_SEL_ADD is reserved/unused for now.
+    # conditional add (one row): cells x1,y1,x2,y2,lam,x3,y3,bit in a0..a7.
+    # bit=1 -> (x3,y3) = (x1,y1) + (x2,y2) (incomplete); bit=0 -> passthrough.
+    # bit must be boolean-constrained by the caller (q_bits rows).
+    sx1, sy1, sx2, sy2, slam, sx3, sy3, sbit = (a[i] for i in range(8))
+    one = Constant(1)
+    cs.create_gate(
+        "ec_sel_add_1", f[Q_EC_SEL_ADD] * sbit * ((sx2 - sx1) * slam - (sy2 - sy1))
+    )
+    cs.create_gate(
+        "ec_sel_add_2",
+        f[Q_EC_SEL_ADD]
+        * (sbit * (slam * slam - sx1 - sx2 - sx3) + (one - sbit) * (sx3 - sx1)),
+    )
+    cs.create_gate(
+        "ec_sel_add_3",
+        f[Q_EC_SEL_ADD]
+        * (sbit * (slam * (sx1 - sx3) - sy1 - sy3) + (one - sbit) * (sy3 - sy1)),
+    )
+
+    # conditional swap (one row): cells l, r, bit, out_l, out_r in a0..a4;
+    # bit=1 -> (out_l,out_r) = (r,l), bit=0 -> (l,r). bit must be boolean-
+    # constrained by the caller. (halo2_gadgets CondSwapChip counterpart.)
+    wl, wr, wbit, wol, wor = (a[i] for i in range(5))
+    cs.create_gate("swap_l", f[Q_SWAP] * (wol - wl - wbit * (wr - wl)))
+    cs.create_gate("swap_r", f[Q_SWAP] * (wor - wr - wbit * (wl - wr)))
+
+    # spread-lookup extension: byte table, chunk lookups, add32/xor-rot gates
+    from .spread import SC, configure_spread
+
+    assert SC.num_fixed_end == RC_EXT[0] <= NUM_FIXED
+    configure_spread(cs, SC)
 
 
 # ---------------------------------------------------------------------------
@@ -134,9 +180,17 @@ def assign_vanilla(b: CircuitBuilder, ql=0, qr=0, qm=0, qo=0, qc=0, va=None, vb=
 
 
 def constant_cell(b: CircuitBuilder, value: int):
-    """A cell constrained to a compile-time constant: a0 + (-value) = 0."""
-    ca, _, _ = assign_vanilla(b, ql=1, qc=(-value) % P, va=value)
-    return ca
+    """A cell constrained to a compile-time constant: a0 + (-value) = 0.
+    Cached per builder — repeated constants cost one row total."""
+    value = value % P
+    cache = getattr(b, "_const_cells", None)
+    if cache is None:
+        cache = b._const_cells = {}
+    cell = cache.get(value)
+    if cell is None:
+        ca, _, _ = assign_vanilla(b, ql=1, qc=(-value) % P, va=value)
+        cell = cache[value] = ca
+    return cell
 
 
 def add_cells(b: CircuitBuilder, x, y):
@@ -198,38 +252,55 @@ def is_bool(b: CircuitBuilder, x):
 
 
 def poseidon_permute(b: CircuitBuilder, state):
-    """In-circuit Poseidon permutation; state = 3 cells -> 3 cells (65 rows)."""
+    """In-circuit Poseidon permutation; state = 3 cells -> 3 cells (17 rows:
+    16 packed rows of 4 rounds each + the final-state row). The P128Pow5T3
+    schedule (4 full | 56 partial | 4 full) aligns exactly with 4-round rows:
+    row 0 is full, rows 1..14 partial, row 15 full."""
     vals = [c.value for c in state]
     known = all(v is not None for v in vals)
     half = hp.FULL_ROUNDS // 2
-    rows = b.alloc_rows(65)
-    # seed row: copy the input state into (a0,a1,a2) at rows[0]
+    assert half == 4 and hp.PARTIAL_ROUNDS % 4 == 0
+    nrows = (hp.FULL_ROUNDS + hp.PARTIAL_ROUNDS) // 4
+    rows = b.alloc_rows(nrows + 1)
+    rc_cols = [RC0, RC1, RC2] + RC_EXT
+    # seed: copy the input state into (a0,a1,a2) of the first row
     cur = []
     for i in range(3):
         cell = b.assign_advice(i, rows, vals[i])
         b.copy(cell, state[i])
         cur.append(cell)
     cur_vals = list(vals)
-    for r in range(64):
-        row = rows + r
-        rc = hp.ROUND_CONSTANTS[r]
-        for i in range(3):
-            b.assign_fixed(RC0 + i, row, rc[i])
-        is_full = r < half or r >= half + hp.PARTIAL_ROUNDS
-        b.assign_fixed(Q_POS_FULL if is_full else Q_POS_PART, row, 1)
-        if known:
-            s = [(cur_vals[i] + rc[i]) % P for i in range(3)]
-            if is_full:
-                s = [pow(x, 5, P) for x in s]
+    for blk in range(nrows):
+        row = rows + blk
+        r0 = 4 * blk
+        is_full = r0 < half or r0 >= half + hp.PARTIAL_ROUNDS
+        b.assign_fixed(Q_POS_4F if is_full else Q_POS_4P, row, 1)
+        for t in range(4):
+            rc = hp.ROUND_CONSTANTS[r0 + t]
+            for i in range(3):
+                b.assign_fixed(rc_cols[3 * t + i], row, rc[i])
+            if known:
+                s = [(cur_vals[i] + rc[i]) % P for i in range(3)]
+                if is_full:
+                    s = [pow(x, 5, P) for x in s]
+                else:
+                    s[0] = pow(s[0], 5, P)
+                cur_vals = [
+                    sum(hp.MDS[i][j] * s[j] for j in range(3)) % P
+                    for i in range(3)
+                ]
             else:
-                s[0] = pow(s[0], 5, P)
-            nxt = [
-                sum(hp.MDS[i][j] * s[j] for j in range(3)) % P for i in range(3)
+                cur_vals = [None, None, None]
+            # intermediate states within the row; the 4th lands on row+1
+            dst_row, dst_cols = (
+                (row, (3 * (t + 1), 3 * (t + 1) + 1, 3 * (t + 1) + 2))
+                if t < 3
+                else (row + 1, (0, 1, 2))
+            )
+            cur = [
+                b.assign_advice(dst_cols[i], dst_row, cur_vals[i])
+                for i in range(3)
             ]
-        else:
-            nxt = [None, None, None]
-        cur = [b.assign_advice(i, row + 1, nxt[i]) for i in range(3)]
-        cur_vals = nxt
     return cur
 
 
@@ -255,6 +326,26 @@ def poseidon_hash2_gadget(b: CircuitBuilder, left, right):
 # --- merkle ----------------------------------------------------------------
 
 
+def cond_swap_gadget(b: CircuitBuilder, l, r, bit):
+    """(bit ? (r,l) : (l,r)) in one Q_SWAP row; bit boolean elsewhere."""
+    row = b.alloc_rows(1)
+    b.assign_fixed(Q_SWAP, row, 1)
+    known = l.value is not None and r.value is not None and bit.value is not None
+    if known:
+        ov = (r.value, l.value) if bit.value else (l.value, r.value)
+    else:
+        ov = (None, None)
+    cl = b.assign_advice(0, row, l.value)
+    cr = b.assign_advice(1, row, r.value)
+    cb = b.assign_advice(2, row, bit.value)
+    col = b.assign_advice(3, row, ov[0])
+    cor = b.assign_advice(4, row, ov[1])
+    b.copy(cl, l)
+    b.copy(cr, r)
+    b.copy(cb, bit)
+    return col, cor
+
+
 def merkle_root_gadget(b: CircuitBuilder, leaf, path):
     """Fold a Poseidon Merkle path; path = [(sibling_cell, lr_is_left_bit_cell)].
 
@@ -264,8 +355,7 @@ def merkle_root_gadget(b: CircuitBuilder, leaf, path):
     """
     node = leaf
     for sibling, lr_bit in path:
-        left = select_cell(b, lr_bit, sibling, node)
-        right = select_cell(b, lr_bit, node, sibling)
+        left, right = cond_swap_gadget(b, node, sibling, lr_bit)
         node = poseidon_hash2_gadget(b, left, right)
     return node
 
@@ -275,33 +365,45 @@ def merkle_root_gadget(b: CircuitBuilder, leaf, path):
 
 def decompose_bits(b: CircuitBuilder, cell, num_bits: int):
     """Decompose a cell into `num_bits` boolean cells (LSB first) + enforce
-    recomposition. Rows of 8 bits in a3..a10 with q_bits; recomposition via a
-    weighted vanilla chain. NOTE: for num_bits = 255 the decomposition is NOT
-    automatically canonical; use `decompose_canonical` when parity soundness
-    matters."""
+    recomposition. Built from 32-bit q_recomp word regions (4 rows + 1 word
+    cell each) joined by a short vanilla chain — ~5 rows per 32 bits instead
+    of the old 1-row-per-bit recomposition chain. Bits beyond num_bits are
+    constrained to zero. NOTE: for num_bits >= 255 the decomposition is NOT
+    automatically canonical; use ec_gadgets.decompose_canonical_255 when
+    uniqueness matters (e.g. scalars feeding commitments)."""
     v = cell.value
     bits = []
-    nrows = -(-num_bits // 8)
-    rows = b.alloc_rows(nrows)
-    for j in range(nrows):
+    nwords = -(-num_bits // 32)
+    word_cells = []
+    for j in range(nwords):
+        wv = None if v is None else (v >> (32 * j)) & 0xFFFFFFFF
+        wbits, wcell = word_bits_region(b, wv)
+        word_cells.append(wcell)
+        bits.extend(wbits)
+    for idx in range(num_bits, 32 * nwords):
+        assert_equal_constant(b, bits[idx], 0)
+    acc = word_cells[0]
+    for j in range(1, nwords):
+        acc = add_scaled(b, acc, word_cells[j], 1 << (32 * j))
+    assert_equal(b, acc, cell)
+    return bits[:num_bits]
+
+
+def word_bits_region(b: CircuitBuilder, value):
+    """A 32-bit word as 32 boolean bit cells (LSB first; 4 rows x 8 bit
+    lanes) plus a q_recomp-bound word cell on the first row. value: int |
+    None. Returns (bits, word_cell)."""
+    rows = b.alloc_rows(4)
+    bits = []
+    for j in range(4):
         b.assign_fixed(Q_BITS, rows + j, 1)
         for i in range(8):
             idx = 8 * j + i
-            bv = None if v is None else ((v >> idx) & 1 if idx < num_bits else 0)
-            bit = b.assign_advice(BIT_COLS[i], rows + j, bv)
-            if idx < num_bits:
-                bits.append(bit)
-            elif v is not None:
-                pass  # padding zeros (boolean-constrained, unconstrained value)
-    # recomposition: chain acc = acc + bit*2^i using vanilla rows
-    acc = None
-    for idx, bit in enumerate(bits):
-        if acc is None:
-            acc = mul_const(b, bit, 1)
-        else:
-            acc = add_scaled(b, acc, bit, 1 << idx)
-    assert_equal(b, acc, cell)
-    return bits
+            bv = None if value is None else (value >> idx) & 1
+            bits.append(b.assign_advice(BIT_COLS[i], rows + j, bv))
+    b.assign_fixed(Q_RECOMP, rows, 1)
+    wcell = b.assign_advice(WORD_COL, rows, value)
+    return bits, wcell
 
 
 def mul_const(b: CircuitBuilder, x, c: int):

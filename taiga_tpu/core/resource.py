@@ -126,7 +126,14 @@ class RandomSeed:
         ]
 
     def get_rcv(self) -> Fq:
-        return Fq.from_uniform_bytes(self._expand(bytes([PRF_EXPAND_VCM_R])))
+        """Delta-commitment blinding scalar. Documented deviation from the
+        reference (resource.rs:423-427 reduces mod q): we reduce the expanded
+        bytes into [0, p) with p = Fp.MODULUS < q, so the scalar is exactly
+        representable as the base-field witness cell the compliance circuit
+        decomposes canonically (circuits/compliance.py delta gadget). The
+        statistical distance from uniform mod q is (q-p)/q < 2^-126."""
+        v = Fp.from_uniform_bytes(self._expand(bytes([PRF_EXPAND_VCM_R])))
+        return Fq(v.v)
 
     def get_resource_logic_cm_r(self, tag: int) -> Fp:
         return Fp.from_uniform_bytes(self._expand(bytes([tag])))

@@ -16,7 +16,9 @@ from taiga_tpu.examples import (
 
 @pytest.fixture(autouse=True, scope="module")
 def _params():
-    with params_override(rl=14):
+    # production domain sizes (compliance k=13, rl k=12) — every circuit
+    # fits since the spread-lookup/packed-gadget rewrite
+    with params_override():
         yield
 
 rng = random.Random(0xE2E)
