@@ -221,15 +221,21 @@ class ResourceLogicCircuit(Circuit):
     # --- host-side logic hash (the 'logic' field of resources) --------
     @classmethod
     def compressed_vk(cls) -> Fp:
-        """The circuit's identity as a field element (stand-in for halo2's
-        Blake2b-compressed verifying key, resource_logic_vk.rs:33-51):
-        Blake2b-512 over the circuit's canonical name, wide-reduced."""
-        import hashlib
+        """The REAL Blake2b-compressed verifying key (reference
+        resource_logic_vk.rs:33-51): keygen (cached per class/k, in memory
+        and on disk) then compress the canonical vk serialization — so a
+        resource's `logic` field commits to the circuit's actual constraints
+        (gates, lookups, fixed/permutation commitments), and changing one
+        gate changes every resource of this kind."""
+        from ..core.proving import get_proving_key, resource_logic_k
 
-        h = hashlib.blake2b(
-            cls.circuit_id().encode(), digest_size=64, person=b"TaigaTPU-rl-vkcm"
-        ).digest()
-        return Fp.from_uniform_bytes(h)
+        return get_proving_key(cls, resource_logic_k()).vk.compressed()
+
+    @classmethod
+    def verifying_key_bytes(cls) -> bytes:
+        from ..core.proving import get_proving_key, resource_logic_k
+
+        return get_proving_key(cls, resource_logic_k()).vk.to_bytes()
 
     @classmethod
     def circuit_id(cls) -> str:

@@ -16,6 +16,7 @@ from ..crypto.fields import Fp
 from .constants import (
     COMPLIANCE_CIRCUIT_PARAMS_SIZE,
     RESOURCE_LOGIC_CIRCUIT_PARAMS_SIZE,
+    RESOURCE_LOGIC_CIRCUIT_PUBLIC_INPUT_NUM,
     RESOURCE_LOGIC_CIRCUIT_RESOURCE_MERKLE_ROOT_IDX,
     RESOURCE_LOGIC_CIRCUIT_SELF_RESOURCE_ID_IDX,
 )
@@ -175,23 +176,49 @@ class Proof:
         return cls(b)
 
 
+_VK_PARSE_CACHE: dict = {}
+
+
+def _parse_vk(vk_bytes: bytes):
+    """Deserialize (and cache) a carried verifying key."""
+    import hashlib
+
+    from ..plonk.keygen import VerifyingKey
+
+    key = hashlib.blake2b(vk_bytes, digest_size=16).digest()
+    vk = _VK_PARSE_CACHE.get(key)
+    if vk is None:
+        vk = VerifyingKey.from_bytes(vk_bytes)
+        _VK_PARSE_CACHE[key] = vk
+    return vk
+
+
 class ResourceLogicVerifyingInfo:
-    """{circuit id, proof, 22 public inputs} (reference
-    resource_logic_circuit.rs:79-90, with the vk replaced by the registered
-    circuit identity — see circuits/bytecode.py registry)."""
+    """{vk, proof, 22 public inputs} (reference
+    resource_logic_circuit.rs:79-90). The verifying key travels WITH the
+    proof and verification runs against the carried vk — third-party logics
+    verify without any registry (the circuit_id tags the bytecode arm for
+    transparent execution / diagnostics only)."""
 
-    __slots__ = ("circuit_id", "proof", "public_inputs")
+    __slots__ = ("circuit_id", "proof", "public_inputs", "vk_bytes")
 
-    def __init__(self, circuit_id: str, proof: Proof, public_inputs: list[Fp]):
+    def __init__(self, circuit_id: str, proof: Proof, public_inputs: list[Fp],
+                 vk_bytes: bytes):
         self.circuit_id = circuit_id
         self.proof = proof
         self.public_inputs = public_inputs
+        self.vk_bytes = vk_bytes
 
     def verify(self):
-        from ..circuits.bytecode import circuit_class_by_id
+        from ..plonk.verifier import verify_proof
 
-        cls = circuit_class_by_id(self.circuit_id)
-        if not self.proof.verify(cls, self.public_inputs, resource_logic_k()):
+        try:
+            vk = _parse_vk(self.vk_bytes)
+        except (ValueError, IndexError) as e:
+            raise ProofError(f"malformed resource logic vk: {e}") from e
+        if len(self.public_inputs) != RESOURCE_LOGIC_CIRCUIT_PUBLIC_INPUT_NUM:
+            raise ProofError("bad resource logic public input count")
+        if not verify_proof(vk, self.public_inputs, self.proof.data):
             raise ProofError(f"resource logic proof failed: {self.circuit_id}")
 
     def get_resource_merkle_root(self) -> Fp:
@@ -204,8 +231,13 @@ class ResourceLogicVerifyingInfo:
 def prove_resource_logic(circuit) -> ResourceLogicVerifyingInfo:
     """Run the real prover for a resource-logic circuit instance."""
     instance = circuit.get_public_inputs()
-    proof = Proof.create(circuit, instance, resource_logic_k())
-    return ResourceLogicVerifyingInfo(type(circuit).circuit_id(), proof, instance)
+    pk = get_proving_key(type(circuit), resource_logic_k())
+    from ..plonk.prover import create_proof
+
+    proof = Proof(create_proof(pk, circuit, instance))
+    return ResourceLogicVerifyingInfo(
+        type(circuit).circuit_id(), proof, instance, pk.vk.to_bytes()
+    )
 
 
 def verify_resource_logic_transparently(circuit) -> list[Fp]:

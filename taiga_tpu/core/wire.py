@@ -108,6 +108,8 @@ def _r_fq(r) -> Fq:
 
 def write_rl_verifying_info(w, info: ResourceLogicVerifyingInfo):
     _w_str(w, info.circuit_id)
+    _w_vec(w, info.vk_bytes)  # the vk travels with the proof, as in the
+    # reference's 158 kB RL verifying info (taiga_api.rs:104-139)
     _w_vec(w, info.proof.to_bytes())
     _w_u32(w, len(info.public_inputs))
     for v in info.public_inputs:
@@ -116,10 +118,11 @@ def write_rl_verifying_info(w, info: ResourceLogicVerifyingInfo):
 
 def read_rl_verifying_info(r) -> ResourceLogicVerifyingInfo:
     circuit_id = _r_str(r)
+    vk_bytes = _r_vec(r)
     proof = Proof.from_bytes(_r_vec(r))
     n = _r_u32(r)
     pubs = [_r_fp(r) for _ in range(n)]
-    return ResourceLogicVerifyingInfo(circuit_id, proof, pubs)
+    return ResourceLogicVerifyingInfo(circuit_id, proof, pubs, vk_bytes)
 
 
 def write_rl_info_set(w, s: ResourceLogicVerifyingInfoSet):

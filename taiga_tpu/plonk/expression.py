@@ -132,6 +132,75 @@ def rotations_used(expr: Expression, acc=None):
     return acc
 
 
+# --- canonical serialization -------------------------------------------------
+# Deterministic byte encoding for expressions — the basis of verifying-key
+# serialization/compression (reference resource_logic_vk.rs:33-51 compresses
+# the vk's pinned representation; ours hashes this canonical encoding).
+
+_KIND_TAGS = {FIXED: 0, ADVICE: 1, INSTANCE: 2}
+_KIND_BY_TAG = {v: k for k, v in _KIND_TAGS.items()}
+
+
+def ser_expr(e: Expression, out: bytearray):
+    if isinstance(e, Constant):
+        out.append(0)
+        out += e.value.to_bytes(32, "little")
+    elif isinstance(e, Cell):
+        out.append(1)
+        out.append(_KIND_TAGS[e.kind])
+        out += e.index.to_bytes(2, "little")
+        out += (e.rotation & 0xFFFF).to_bytes(2, "little")
+    elif isinstance(e, ChallengeVar):
+        out.append(2)
+        nb = e.name.encode()
+        out.append(len(nb))
+        out += nb
+    elif isinstance(e, Sum):
+        out.append(3)
+        ser_expr(e.a, out)
+        ser_expr(e.b, out)
+    elif isinstance(e, Product):
+        out.append(4)
+        ser_expr(e.a, out)
+        ser_expr(e.b, out)
+    elif isinstance(e, Negated):
+        out.append(5)
+        ser_expr(e.a, out)
+    else:
+        raise TypeError(type(e))
+
+
+def deser_expr(buf: bytes, pos: int) -> tuple[Expression, int]:
+    tag = buf[pos]
+    pos += 1
+    if tag == 0:
+        v = int.from_bytes(buf[pos : pos + 32], "little")
+        return Constant(v), pos + 32
+    if tag == 1:
+        kind = _KIND_BY_TAG[buf[pos]]
+        idx = int.from_bytes(buf[pos + 1 : pos + 3], "little")
+        rot = int.from_bytes(buf[pos + 3 : pos + 5], "little")
+        if rot >= 0x8000:
+            rot -= 0x10000
+        return Cell(kind, idx, rot), pos + 5
+    if tag == 2:
+        ln = buf[pos]
+        name = buf[pos + 1 : pos + 1 + ln].decode()
+        return ChallengeVar(name), pos + 1 + ln
+    if tag == 3:
+        a, pos = deser_expr(buf, pos)
+        b, pos = deser_expr(buf, pos)
+        return Sum(a, b), pos
+    if tag == 4:
+        a, pos = deser_expr(buf, pos)
+        b, pos = deser_expr(buf, pos)
+        return Product(a, b), pos
+    if tag == 5:
+        a, pos = deser_expr(buf, pos)
+        return Negated(a), pos
+    raise ValueError(f"bad expression tag {tag}")
+
+
 # --- host evaluation (row-wise, exact ints) ---------------------------------
 
 

@@ -73,6 +73,7 @@ def _fake_shielded_ptx():
         "taiga_tpu.rl.TrivialResourceLogicCircuit",
         Proof(b"\x09" * 7),
         [Fp.random() for _ in range(22)],
+        b"TVK1-opaque-test-bytes",
     )
     s = ResourceLogicVerifyingInfoSet(rl, [rl])
     return ShieldedPartialTransaction([cinfo], [s], [s], Fq(1234), b"hints!")
