@@ -1,16 +1,18 @@
 """Headline benchmark: Action (compliance) proof throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference proves one Action circuit in ~3.65 s on CPU
-(taiga_halo2/benches/Perfromance.md; BASELINE.md) => 0.274 proofs/sec.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"} — one per tier,
+cheapest first, so a timeout can never produce zero output; the LAST line is
+the headline. Baseline: the reference proves one Action circuit in ~3.65 s on
+CPU (taiga_halo2/benches/Perfromance.md; BASELINE.md) => 0.274 proofs/sec.
 
-Tiers (first that succeeds wins):
-  1. full compliance prove (+verify) at the production domain size (k = 15,
-     TAIGA_BENCH_K to override) — wall-clock timing is inherently synced
-     (the transcript pulls every commitment back to host);
+Tiers (all attempted, in order):
+  3. batched Poseidon permutation throughput (sanity floor, ~1 min);
   2. prover core-kernel composite (Poseidon witness hash + iNTT + 2^15-point
      Pippenger MSM) scaled to the per-proof op count, device_get-synced;
-  3. batched Poseidon permutation throughput (no baseline ratio).
+  1. full compliance prove (+verify) at the production domain size (k = 15,
+     TAIGA_BENCH_K to override) — wall-clock timing is inherently synced
+     (the transcript pulls every commitment back to host). Stage timings go
+     to stderr (TAIGA_PROFILE) so a timeout is diagnosable from the artifact.
 """
 
 import json
@@ -18,12 +20,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("TAIGA_PROFILE", "1")  # stage timings on stderr
 
 BASELINE_PROVES_PER_SEC = 1.0 / 3.65
+BASELINE_VERIFIES_PER_SEC = 1.0 / 0.036359
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -32,7 +32,11 @@ def _emit(metric, value, unit, vs_baseline):
         "value": round(value, 4),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }), flush=True)
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def tier1_full_proof(k: int) -> bool:
@@ -50,19 +54,26 @@ def tier1_full_proof(k: int) -> bool:
         t0 = time.time()
         cvi = ComplianceVerifyingInfo.create(info)
         warm = time.time() - t0
-        print(f"# tier1 warmup (keygen+compiles): {warm:.1f}s", file=sys.stderr)
-        cvi.verify()
+        _log(f"tier1 warmup (keygen+compiles): {warm:.1f}s")
+        t0 = time.time()
+        assert cvi.verify()
+        _log(f"tier1 verify warmup: {time.time() - t0:.1f}s")
         runs = 2 if warm < 600 else 1
         t0 = time.time()
         for _ in range(runs):
             cvi = ComplianceVerifyingInfo.create(info)
         dt = (time.time() - t0) / runs
-        cvi.verify()
         _emit("action_proofs_per_sec", 1.0 / dt, "proofs/s",
               (1.0 / dt) / BASELINE_PROVES_PER_SEC)
+        t0 = time.time()
+        for _ in range(3):
+            assert cvi.verify()
+        vdt = (time.time() - t0) / 3
+        _log(f"tier1 verify steady: {vdt*1000:.1f}ms "
+             f"(ref 36.4ms => {(1.0/vdt)/BASELINE_VERIFIES_PER_SEC:.2f}x)")
         return True
     except Exception as e:
-        print(f"# tier1 failed: {type(e).__name__}: {e}", file=sys.stderr)
+        _log(f"tier1 failed: {type(e).__name__}: {e}")
         return False
 
 
@@ -113,7 +124,7 @@ def tier2_kernel_composite() -> bool:
               "equiv-proofs/s", (1.0 / per_proof) / BASELINE_PROVES_PER_SEC)
         return True
     except Exception as e:
-        print(f"# tier2 failed: {type(e).__name__}: {e}", file=sys.stderr)
+        _log(f"tier2 failed: {type(e).__name__}: {e}")
         return False
 
 
@@ -138,22 +149,27 @@ def tier3_poseidon() -> bool:
         _emit("poseidon_permutations_per_sec", rate, "perm/s", 0.0)
         return True
     except Exception as e:
-        print(f"# tier3 failed: {type(e).__name__}: {e}", file=sys.stderr)
+        _log(f"tier3 failed: {type(e).__name__}: {e}")
         return False
 
 
 def main():
     k = int(os.environ.get("TAIGA_BENCH_K", "15"))
     tier = os.environ.get("TAIGA_BENCH_TIER", "")
+    if tier == "1":
+        tier1_full_proof(k)
+        return
     if tier == "2":
         tier2_kernel_composite() or tier3_poseidon()
         return
     if tier == "3":
         tier3_poseidon()
         return
-    if not tier1_full_proof(k):
-        if not tier2_kernel_composite():
-            tier3_poseidon()
+    # cheapest first: a later timeout can't erase an already-printed line
+    t0 = time.time()
+    tier2_kernel_composite() or tier3_poseidon()
+    _log(f"tier2/3 done at {time.time()-t0:.0f}s; attempting tier1 (k={k})")
+    tier1_full_proof(k)
 
 
 if __name__ == "__main__":

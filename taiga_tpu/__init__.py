@@ -20,3 +20,30 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compile_cache():
+    """Point JAX's persistent compilation cache at a shared on-disk dir.
+
+    The prover's jit programs (quotient, multiopen, IPA) take minutes to
+    compile at k=15; the persistent cache turns every later process's warmup
+    into a disk load. The env-var path (JAX_COMPILATION_CACHE_DIR) is not
+    honored reliably on this backend, so set the config explicitly — before
+    any jit compilation, which importing submodules may trigger."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "TAIGA_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_setup_compile_cache()

@@ -336,6 +336,13 @@ class VampIRModule:
     def __init__(self, source: str):
         self.source = source
         pubs, defs, exprs = parse(source)
+        from ..core.constants import RESOURCE_LOGIC_CIRCUIT_PUBLIC_INPUT_NUM as _NPUB
+
+        if len(pubs) > _NPUB:
+            raise VampIRError(
+                f"{len(pubs)} pub variables exceed the fixed {_NPUB}-element "
+                "resource-logic public-input layout"
+            )
         self.pubs = pubs
         self.constraints: list[tuple] = []
         for e in exprs:
@@ -389,12 +396,22 @@ class VampIRModule:
 
 _MODULE_CACHE: dict[str, VampIRModule] = {}
 _CLASS_CACHE: dict[str, type] = {}
+_CACHE_LIMIT = 256  # untrusted wire input compiles dynamic classes: bound it
+MAX_SOURCE_BYTES = 1 << 20
+
+
+def _evict(cache: dict):
+    while len(cache) > _CACHE_LIMIT:
+        cache.pop(next(iter(cache)))
 
 
 def compile_module(source: str) -> VampIRModule:
+    if len(source) > MAX_SOURCE_BYTES:
+        raise VampIRError("vamp-ir source too large")
     m = _MODULE_CACHE.get(source)
     if m is None:
         m = _MODULE_CACHE[source] = VampIRModule(source)
+        _evict(_MODULE_CACHE)
     return m
 
 
@@ -439,6 +456,7 @@ class VampIRResourceLogicCircuit(Circuit):
             )
             sub.__qualname__ = sub.__name__
             _CLASS_CACHE[m.digest] = sub
+            _evict(_CLASS_CACHE)
         return sub
 
     @classmethod

@@ -101,8 +101,11 @@ def partial_transaction_serialize(ptx) -> bytes:
 
 
 def partial_transaction_deserialize(b: bytes):
-    from .wire import shielded_ptx_deserialize, transparent_ptx_deserialize
+    from .wire import WireError, shielded_ptx_deserialize, transparent_ptx_deserialize
 
     if b[:1] == b"\x00":
         return shielded_ptx_deserialize(b[1:])
-    return transparent_ptx_deserialize(b[1:])
+    if b[:1] == b"\x01":
+        return transparent_ptx_deserialize(b[1:])
+    # borsh enum decoding errors on unknown variant tags; so do we
+    raise WireError(f"unknown partial-transaction tag {b[:1]!r}")
