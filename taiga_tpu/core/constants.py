@@ -123,10 +123,20 @@ def resource_commitment_generator() -> PallasPoint:
     )
 
 
+# CommitDomain("Taiga-NoteCommit").R() — the delta-commitment blinding base
+# and the RedDSA binding-signature basepoint (binding_signature.rs:23-33,
+# delta_commitment.rs:20-32). BIT-EXACT vs the reference: recovered from the
+# reference's embedded fixed-base window table (constant.rs:183-3085 R_U/R_Z,
+# generated by halo2_gadgets find_zs_and_us from this exact point) by solving
+# y([2]R) = R_U[0][0]^2 - R_Z[0] and R = [2^-1 mod q]([2]R), then verified
+# against all eight window-0 table equations — see tools/recover_r_generator.py
+# and tests/test_reference_vectors.py. Our own group-hash derivation of
+# "Taiga-NoteCommit-r" differs from pasta_curves' BLAKE2b XMD at byte level,
+# so the protocol constant is pinned rather than derived.
+_R_GENERATOR_X = 0x041959EB3111584D60946E45BF5126F4F58304C956778E9F6D8AAE9FE21CFE00
+_R_GENERATOR_Y = 0x1319B788FE5FEC163EBB783B59D92092B8B4F7C83326A3808C0B30657333C5E1
+
+
 @lru_cache(maxsize=None)
 def resource_commitment_r_generator() -> PallasPoint:
-    """CommitDomain("Taiga-NoteCommit").R() — the delta-commitment blinding base
-    and the RedDSA binding-signature basepoint."""
-    return pallas_hash_to_curve(
-        f"{RESOURCE_COMMITMENT_PERSONALIZATION}-r", b""
-    )
+    return PallasPoint.from_xy(_R_GENERATOR_X, _R_GENERATOR_Y)

@@ -240,6 +240,35 @@ def prove_resource_logic(circuit) -> ResourceLogicVerifyingInfo:
     )
 
 
+def prove_resource_logics_batch(circuits) -> list[ResourceLogicVerifyingInfo]:
+    """Prove many resource-logic instances, batching same-class groups
+    through the lockstep device pipeline on accelerator backends (the
+    reference proves a ptx's proofs serially, shielded_ptx.rs:98-134; on
+    CPU the zero-compile host prover per proof is already optimal)."""
+    from ..plonk.prover import _use_host_prover, create_proofs_batch
+
+    k = resource_logic_k()
+    out: list = [None] * len(circuits)
+    if _use_host_prover() or len(circuits) <= 1:
+        for i, c in enumerate(circuits):
+            out[i] = prove_resource_logic(c)
+        return out
+    groups: dict[type, list[int]] = {}
+    for i, c in enumerate(circuits):
+        groups.setdefault(type(c), []).append(i)
+    for cls, idxs in groups.items():
+        pk = get_proving_key(cls, k)
+        insts = [circuits[i].get_public_inputs() for i in idxs]
+        if len(idxs) == 1:
+            out[idxs[0]] = prove_resource_logic(circuits[idxs[0]])
+            continue
+        proofs = create_proofs_batch(pk, [circuits[i] for i in idxs], insts)
+        vkb = pk.vk.to_bytes()
+        for i, inst, pf in zip(idxs, insts, proofs):
+            out[i] = ResourceLogicVerifyingInfo(cls.circuit_id(), Proof(pf), inst, vkb)
+    return out
+
+
 def verify_resource_logic_transparently(circuit) -> list[Fp]:
     """MockProver-style transparent check; returns the public inputs
     (reference resource_logic_circuit.rs:597-606 macro)."""

@@ -39,6 +39,26 @@ class ComplianceVerifyingInfo:
         proof = Proof.create(circuit, instance.to_instance(), compliance_k())
         return cls(proof, instance)
 
+    @classmethod
+    def create_batch(cls, infos) -> list["ComplianceVerifyingInfo"]:
+        """Prove many compliance units in one lockstep device batch on
+        accelerator backends (per-proof host prover on CPU)."""
+        from ..circuits.compliance import ComplianceCircuit
+        from ..plonk.prover import _use_host_prover, create_proofs_batch
+        from .proving import get_proving_key
+
+        built = [info.build() for info in infos]
+        if _use_host_prover() or len(built) <= 1:
+            return [
+                cls(Proof.create(circ, inst.to_instance(), compliance_k()), inst)
+                for inst, circ in built
+            ]
+        pk = get_proving_key(ComplianceCircuit, compliance_k())
+        proofs = create_proofs_batch(
+            pk, [c for _, c in built], [i.to_instance() for i, _ in built]
+        )
+        return [cls(Proof(p), inst) for p, (inst, _) in zip(proofs, built)]
+
     def verify(self):
         from ..circuits.compliance import ComplianceCircuit
 
@@ -96,15 +116,32 @@ class ShieldedPartialTransaction(Executable):
 
     @classmethod
     def build(cls, compliance_pairs, input_resource_logics, output_resource_logics, hints=b""):
-        """From ResourceLogics objects (resource.rs:451-491)."""
+        """From ResourceLogics objects (resource.rs:451-491). All compliance
+        proofs and all same-class resource-logic proofs are proven as
+        lockstep device batches (the reference proves serially,
+        shielded_ptx.rs:98-134)."""
+        from .proving import prove_resource_logics_batch
+
         rcv_sum = Fq.zero()
-        c_infos = []
         for info in compliance_pairs:
             rcv_sum = rcv_sum + info.get_rcv()
-            c_infos.append(ComplianceVerifyingInfo.create(info))
-        inputs = [rl.build() for rl in input_resource_logics]
-        outputs = [rl.build() for rl in output_resource_logics]
-        return cls(c_infos, inputs, outputs, rcv_sum, hints)
+        c_infos = ComplianceVerifyingInfo.create_batch(list(compliance_pairs))
+        # flatten every logic circuit, batch-prove, reassemble the sets
+        sets = list(input_resource_logics) + list(output_resource_logics)
+        flat = []
+        spans = []
+        for rl in sets:
+            start = len(flat)
+            flat.append(rl.application_resource_logic)
+            flat.extend(rl.dynamic_resource_logics)
+            spans.append((start, len(flat)))
+        infos = prove_resource_logics_batch(flat)
+        built_sets = [
+            ResourceLogicVerifyingInfoSet(infos[a], infos[a + 1 : b])
+            for a, b in spans
+        ]
+        n_in = len(input_resource_logics)
+        return cls(c_infos, built_sets[:n_in], built_sets[n_in:], rcv_sum, hints)
 
     # --- checks (shielded_ptx.rs:137-217) -----------------------------
     def verify_proof(self):

@@ -37,7 +37,19 @@ LANES = 128
 
 def _use_pallas() -> bool:
     """Pallas lowering only on real TPU; elsewhere the same kernel math runs
-    as plain XLA ops (bit-identical, far faster than pallas interpret mode)."""
+    as plain XLA ops (bit-identical, far faster than pallas interpret mode).
+
+    JAX_PLATFORMS=cpu wins even when a TPU plugin has pinned itself into the
+    platform list (the axon sitecustomize pins "axon,cpu" at interpreter
+    start, so computations placed on cpu devices — tests, the multi-chip
+    dryrun mesh — would otherwise trace pallas calls that cannot lower on
+    CPU). TAIGA_FORCE_PLAIN_OPS=1 forces the plain-XLA path explicitly."""
+    import os
+
+    if os.environ.get("TAIGA_FORCE_PLAIN_OPS") == "1":
+        return False
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return False
     return jax.default_backend() == "tpu"
 
 

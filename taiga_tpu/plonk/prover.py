@@ -206,7 +206,30 @@ class ProverPipeline:
     # --- commitments ---------------------------------------------------
     def commit_coeff_rows(self, coeffs_mont, blinds: list[int]) -> list[VestaPoint]:
         """Commit each row of (C, n, 16) Montgomery coefficients — ONE
-        batched MSM over the shared SRS bases for all C columns."""
+        batched MSM over the shared SRS bases for all C columns. When the
+        arrays live on CPU devices (tests, the multi-chip dryrun's virtual
+        mesh) and the native engine is built, the Pippenger runs natively:
+        the XLA-CPU msm_multi compile is pathologically slow and the C++
+        engine outruns it anyway."""
+        from ..native import hostops as H
+
+        on_cpu = all(d.platform == "cpu" for d in coeffs_mont.devices())
+        if on_cpu and H.available():
+            from ..native import FIELD_FP, FIELD_FQ
+            from .msm_claim import srs_host_rows
+
+            rows = srs_host_rows(self.k)
+            plain_h = H.from_mont(
+                FIELD_FP, H.u16_to_u64(np.asarray(jax.device_get(coeffs_mont)))
+            )
+            w = get_params(self.k).w
+            out = []
+            for i in range(plain_h.shape[0]):
+                x, y, inf = H.msm(FIELD_FQ, rows, plain_h[i])
+                pt = VestaPoint.identity() if inf else VestaPoint.from_xy(x, y)
+                b = blinds[i]
+                out.append(pt + w * b if b else pt)
+            return out
         g_dev = tuple(map(jnp.asarray, srs_device(self.k)))
         plain = _from_mont_jit(coeffs_mont)
         ncols = coeffs_mont.shape[0]
@@ -239,11 +262,19 @@ class ProverPipeline:
         )
 
         if self._z_jit is None:
-            chunks = self.chunks
-            perm_index = {c: j for j, c in enumerate(self.pk.vk.perm_cols)}
-            zu = u
+            self._z_jit = jax.jit(self._make_zfn())
 
-            def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m, rand_rows):
+        return self._z_jit(
+            tables_by_col, st["sigma_v"], st["omega_pows"], beta_m, gamma_m,
+            rand_rows,
+        )
+
+    def _make_zfn(self):
+        chunks = self.chunks
+        perm_index = {c: j for j, c in enumerate(self.pk.vk.perm_cols)}
+        zu = self.u
+
+        def zfn(cols_v, sigma_v, omega_pows, beta_m, gamma_m, rand_rows):
                 # cols_v: (J, n, 16) permutation column values (Montgomery)
                 nums = []
                 dens = []
@@ -303,12 +334,7 @@ class ProverPipeline:
                     [running[:, None, :], z_main[:, :zu], rand_rows], axis=1
                 )  # (C, n, 16)
 
-            self._z_jit = jax.jit(zfn)
-
-        return self._z_jit(
-            tables_by_col, st["sigma_v"], st["omega_pows"], beta_m, gamma_m,
-            rand_rows,
-        )
+        return zfn
 
     # --- lookup argument --------------------------------------------------
     def lookup_as_values(self, advice_v, inst_v, theta: int):
@@ -316,11 +342,17 @@ class ProverPipeline:
         base domain: returns (A, S) each (L, n, 16) Montgomery."""
         st = self.static_tables()
         if self._lookup_as_jit is None:
-            from .expression import TableSet, eval_device
+            self._lookup_as_jit = jax.jit(self._make_asfn())
+        return self._lookup_as_jit(
+            st["fixed_v"], advice_v, inst_v, _mont_scalar(theta)
+        )
 
-            lookups = self.pk.vk.cs.lookups
+    def _make_asfn(self):
+        from .expression import TableSet, eval_device
 
-            def asfn(fixed_v, advice_v, inst_v, theta_m):
+        lookups = self.pk.vk.cs.lookups
+
+        def asfn(fixed_v, advice_v, inst_v, theta_m):
                 ts = TableSet(fixed_v, advice_v, inst_v, rot_scale=1)
                 ch = {"theta": theta_m}
                 a_rows, s_rows = [], []
@@ -340,10 +372,7 @@ class ProverPipeline:
                     s_rows.append(s)
                 return jnp.stack(a_rows), jnp.stack(s_rows)
 
-            self._lookup_as_jit = jax.jit(asfn)
-        return self._lookup_as_jit(
-            st["fixed_v"], advice_v, inst_v, _mont_scalar(theta)
-        )
+        return asfn
 
     def lookup_z_values(self, a_v, s_v, ap_v, sp_v, beta: int, gamma: int):
         """Lookup grand products: Z[0]=1, Z[i+1]=Z[i]*(A+beta)(S+gamma) /
@@ -358,9 +387,16 @@ class ProverPipeline:
             ])
         )
         if self._lookup_z_jit is None:
-            zu = u
+            self._lookup_z_jit = jax.jit(self._make_lzfn())
+        return self._lookup_z_jit(
+            a_v, s_v, ap_v, sp_v, _mont_scalar(beta), _mont_scalar(gamma),
+            rand_rows,
+        )
 
-            def lzfn(a_v, s_v, ap_v, sp_v, beta_m, gamma_m, rand_rows):
+    def _make_lzfn(self):
+        zu = self.u
+
+        def lzfn(a_v, s_v, ap_v, sp_v, beta_m, gamma_m, rand_rows):
                 num = L.mont_mul(
                     L.add(a_v, beta_m, L.FP), L.add(s_v, gamma_m, L.FP), L.FP
                 )
@@ -389,11 +425,7 @@ class ProverPipeline:
                 )
                 return jnp.concatenate([ones, cps[:, :zu], rand_rows], axis=1)
 
-            self._lookup_z_jit = jax.jit(lzfn)
-        return self._lookup_z_jit(
-            a_v, s_v, ap_v, sp_v, _mont_scalar(beta), _mont_scalar(gamma),
-            rand_rows,
-        )
+        return lzfn
 
     # --- quotient -------------------------------------------------------
     # Evaluated in CHUNKS of expressions, each its own jitted program: XLA
@@ -406,6 +438,9 @@ class ProverPipeline:
     QUOTIENT_CHUNK = 10
 
     def _quotient_chunk_fn(self, grp):
+        return jax.jit(self._make_quotient_chunk(grp))
+
+    def _make_quotient_chunk(self, grp):
         rot_scale = EXT_FACTOR
 
         def qfn(fixed_e, sigma_e, advice_e, inst_e, z_e, lk_a_e, lk_s_e,
@@ -435,7 +470,7 @@ class ProverPipeline:
                 )
             return acc
 
-        return jax.jit(qfn)
+        return qfn
 
     def quotient_coeffs(
         self, advice_e, inst_e, z_e, beta: int, gamma: int, y: int,
@@ -477,6 +512,114 @@ class ProverPipeline:
                 acc = partial
             else:
                 acc = _axpy_acc_jit(partial, acc, _mont_scalar(pow(y, glen, P)))
+        return finish(acc, st["zh_inv"])
+
+
+    # --- batched (multi-proof) variants ---------------------------------
+    # One jitted program per stage with a leading proof-batch axis B: the
+    # TPU-native throughput play (SURVEY §2.5 — the reference proves a ptx's
+    # proofs serially, shielded_ptx.rs:98-134). The batch axis is
+    # embarrassingly parallel, so under a device mesh XLA partitions it with
+    # zero collectives (data parallelism over chips).
+    def z_values_batch(self, cols_vb, betas, gammas):
+        st = self.static_tables()
+        n, u, B = self.n, self.u, cols_vb.shape[0]
+        if getattr(self, "_z_jit_b", None) is None:
+            self._z_jit_b = jax.jit(
+                jax.vmap(self._make_zfn(), in_axes=(0, None, None, 0, 0, 0))
+            )
+        rand = jnp.asarray(np.stack([
+            np.stack([L.FP.array_to_mont([_rand() for _ in range(n - u - 1)])
+                      for _ in self.chunks])
+            for _ in range(B)
+        ]))
+        return self._z_jit_b(
+            cols_vb, st["sigma_v"], st["omega_pows"],
+            jnp.stack([_mont_scalar(b) for b in betas]),
+            jnp.stack([_mont_scalar(g) for g in gammas]),
+            rand,
+        )
+
+    def lookup_as_values_batch(self, advice_vb, inst_vb, thetas):
+        st = self.static_tables()
+        if getattr(self, "_lookup_as_jit_b", None) is None:
+            self._lookup_as_jit_b = jax.jit(
+                jax.vmap(self._make_asfn(), in_axes=(None, 0, 0, 0))
+            )
+        return self._lookup_as_jit_b(
+            st["fixed_v"], advice_vb, inst_vb,
+            jnp.stack([_mont_scalar(t) for t in thetas]),
+        )
+
+    def lookup_z_values_batch(self, a_vb, s_vb, ap_vb, sp_vb, betas, gammas):
+        n, u = self.n, self.u
+        B, nlk = a_vb.shape[0], a_vb.shape[1]
+        if getattr(self, "_lookup_z_jit_b", None) is None:
+            self._lookup_z_jit_b = jax.jit(
+                jax.vmap(self._make_lzfn(), in_axes=(0, 0, 0, 0, 0, 0, 0))
+            )
+        rand = jnp.asarray(np.stack([
+            np.stack([L.FP.array_to_mont([_rand() for _ in range(n - u - 1)])
+                      for _ in range(nlk)])
+            for _ in range(B)
+        ]))
+        return self._lookup_z_jit_b(
+            a_vb, s_vb, ap_vb, sp_vb,
+            jnp.stack([_mont_scalar(b) for b in betas]),
+            jnp.stack([_mont_scalar(g) for g in gammas]),
+            rand,
+        )
+
+    def quotient_coeffs_batch(self, advice_eb, inst_eb, z_eb, betas, gammas,
+                              ys, thetas, lk_a_eb=None, lk_s_eb=None,
+                              lk_z_eb=None):
+        st = self.static_tables()
+        B = advice_eb.shape[0]
+        has_lk = bool(self.pk.vk.cs.lookups)
+        if getattr(self, "_quotient_jit_b", None) is None:
+            m = self.QUOTIENT_CHUNK
+            groups = [
+                tuple(self.exprs[i : i + m]) for i in range(0, len(self.exprs), m)
+            ]
+            in_axes = (None, None, 0, 0, 0, 0, 0, 0,
+                       None, None, None, None, 0, 0, 0, 0)
+            k3 = self.k + 3
+
+            def finish(acc, zh_inv):
+                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
+
+            def combine_one(p, a, y_pow_m):
+                return L.add(p, L.mont_mul(a, y_pow_m, L.FP), L.FP)
+
+            self._quotient_jit_b = (
+                [(len(g), jax.jit(jax.vmap(self._make_quotient_chunk(g), in_axes=in_axes)))
+                 for g in groups],
+                jax.jit(jax.vmap(finish, in_axes=(0, None))),
+                jax.jit(jax.vmap(combine_one, in_axes=(0, 0, 0))),
+            )
+        if not has_lk:
+            ne = self.n * EXT_FACTOR
+            empty = jnp.zeros((B, 0, ne, L.NLIMBS), jnp.uint32)
+            lk_a_eb = lk_s_eb = lk_z_eb = empty
+        chunks, finish, combine = self._quotient_jit_b
+        beta_b = jnp.stack([_mont_scalar(v) for v in betas])
+        gamma_b = jnp.stack([_mont_scalar(v) for v in gammas])
+        y_b = jnp.stack([_mont_scalar(v) for v in ys])
+        theta_b = jnp.stack([_mont_scalar(v) for v in thetas])
+        args = (
+            st["fixed_e"], st["sigma_e"], advice_eb, inst_eb, z_eb,
+            lk_a_eb, lk_s_eb, lk_z_eb,
+            st["xid"], st["l0"], st["llast"], st["lblind"],
+            beta_b, gamma_b, y_b, theta_b,
+        )
+        acc = None
+        for glen, fn in chunks:
+            partial = fn(*args)
+            if acc is None:
+                acc = partial
+            else:
+                ypow = jnp.stack([_mont_scalar(pow(y, glen, P)) for y in ys])
+                acc = combine(partial, acc, ypow)
         return finish(acc, st["zh_inv"])
 
 
@@ -569,6 +712,10 @@ def _use_host_prover() -> bool:
     v = os.environ.get("TAIGA_HOST_PROVER")
     if v is not None:
         return v == "1"
+    # JAX_PLATFORMS=cpu wins even when a TPU plugin pinned itself into the
+    # platform list at interpreter start (see ff_kernels._use_pallas)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return True
     return jax.default_backend() == "cpu"
 
 
@@ -792,6 +939,279 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
     st_t.mark("multiopen + IPA")
     return tr.bytes()
+
+
+def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[bytes]:
+    """Prove a BATCH of instances of one circuit class in lockstep: every
+    device stage runs once with a leading batch axis (B proofs' columns in
+    one iNTT, one multi-column MSM, one vmapped grand-product / quotient
+    program), host transcripts stay per-proof. With `mesh`, batch-axis
+    arrays are sharded across the mesh — data-parallel proving over chips
+    with no collectives (each proof's math touches only its own slice).
+
+    The reference proves a partial transaction's proofs serially
+    (shielded_ptx.rs:98-134); this is the batched TPU counterpart. Returns
+    one proof byte-string per instance; each verifies independently."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    vk = pk.vk
+    k, n, u = vk.k, vk.n, vk.usable_rows
+    omega = vk.omega
+    pipe = get_pipeline(pk)
+    B = len(circuits)
+    assert B == len(instances) and B >= 1
+    cs = vk.cs
+    lookups = cs.lookups
+    st_t = _StageTimer()
+
+    def shard(arr):
+        if mesh is None:
+            return arr
+        spec = PS("shards", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    # --- synthesize all witnesses -------------------------------------
+    insts = [[v.v if isinstance(v, Fp) else int(v) % P for v in inst]
+             for inst in instances]
+    advices = []
+    for circuit in circuits:
+        builder = CircuitBuilder(cs, k, "prove")
+        circuit.synthesize(builder, pk.config)
+        for col in builder.advice:
+            for i in range(u, n):
+                col[i] = _rand()
+        advices.append(builder.advice)
+    st_t.mark("witness synthesis (batch)")
+
+    trs = []
+    for inst in insts:
+        tr = ProofWriter(b"taiga-tpu-plonk")
+        tr.absorb_bytes(vk.digest)
+        tr.absorb_bytes(len(inst).to_bytes(4, "little"))
+        for v in inst:
+            tr.absorb_scalar(Fp(v))
+        trs.append(tr)
+
+    # --- advice commitments (one batched MSM over B*C columns) --------
+    ncols = cs.num_advice
+    plain = np.stack([
+        L.ints_to_limbs([v for col in adv for v in col]).reshape(ncols, n, L.NLIMBS)
+        for adv in advices
+    ])
+    advice_vb = shard(_to_mont_jit(jnp.asarray(plain)))  # (B, C, n, 16)
+    inst_cols = [inst + [0] * (n - len(inst)) for inst in insts]
+    inst_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
+        L.ints_to_limbs(col).reshape(1, n, L.NLIMBS) for col in inst_cols
+    ]))))
+    advice_cb = pipe.values_to_coeffs(advice_vb)
+    advice_blinds = [[_rand() for _ in range(ncols)] for _ in range(B)]
+    pts = pipe.commit_coeff_rows(
+        advice_cb.reshape(B * ncols, n, L.NLIMBS),
+        [b for bs in advice_blinds for b in bs],
+    )
+    for bi, tr in enumerate(trs):
+        for pt in pts[bi * ncols : (bi + 1) * ncols]:
+            tr.write_point(pt)
+    st_t.mark("advice commit (batch)")
+
+    # --- lookups --------------------------------------------------------
+    thetas = [0] * B
+    lk_ap_vb = lk_sp_vb = lk_ap_cb = lk_sp_cb = None
+    lk_a_vb = lk_s_vb = None
+    lk_ap_blinds = [[] for _ in range(B)]
+    lk_sp_blinds = [[] for _ in range(B)]
+    nlk = len(lookups)
+    if lookups:
+        thetas = [tr.challenge(b"theta").v for tr in trs]
+        lk_a_vb, lk_s_vb = pipe.lookup_as_values_batch(advice_vb, inst_vb, thetas)
+        a_plain = np.asarray(jax.device_get(_from_mont_jit(lk_a_vb)))
+        s_plain = np.asarray(jax.device_get(_from_mont_jit(lk_s_vb)))
+        ap_all, sp_all = [], []
+        for bi in range(B):
+            ap_cols, sp_cols = [], []
+            for li in range(nlk):
+                a_col = L.limbs_to_ints(a_plain[bi, li])
+                s_col = L.limbs_to_ints(s_plain[bi, li])
+                ap, sp = _permute_lookup_pair(a_col, s_col, u)
+                ap_cols.append(ap + [_rand() for _ in range(n - u)])
+                sp_cols.append(sp + [_rand() for _ in range(n - u)])
+            ap_all.append(ap_cols)
+            sp_all.append(sp_cols)
+        lk_ap_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
+            L.ints_to_limbs([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS)
+            for cols in ap_all
+        ]))))
+        lk_sp_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
+            L.ints_to_limbs([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS)
+            for cols in sp_all
+        ]))))
+        lk_ap_cb = pipe.values_to_coeffs(lk_ap_vb)
+        lk_sp_cb = pipe.values_to_coeffs(lk_sp_vb)
+        lk_ap_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
+        lk_sp_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
+        ap_pts = pipe.commit_coeff_rows(
+            lk_ap_cb.reshape(B * nlk, n, L.NLIMBS),
+            [b for bs in lk_ap_blinds for b in bs])
+        sp_pts = pipe.commit_coeff_rows(
+            lk_sp_cb.reshape(B * nlk, n, L.NLIMBS),
+            [b for bs in lk_sp_blinds for b in bs])
+        for bi, tr in enumerate(trs):
+            for li in range(nlk):
+                tr.write_point(ap_pts[bi * nlk + li])
+                tr.write_point(sp_pts[bi * nlk + li])
+        st_t.mark("lookup permuted commit (batch)")
+
+    betas = [tr.challenge(b"beta").v for tr in trs]
+    gammas = [tr.challenge(b"gamma").v for tr in trs]
+
+    # --- permutation products -------------------------------------------
+    st = pipe.static_tables()
+    cols_list = []
+    for bi in range(B):
+        per_proof = []
+        for kind, idx in vk.perm_cols:
+            if kind == ADVICE:
+                per_proof.append(advice_vb[bi, idx])
+            elif kind == FIXED:
+                per_proof.append(st["fixed_v"][idx])
+            else:
+                per_proof.append(inst_vb[bi, 0])
+        cols_list.append(jnp.stack(per_proof))
+    cols_vb = jnp.stack(cols_list)
+    z_vb = pipe.z_values_batch(cols_vb, betas, gammas)
+    st_t.mark("perm grand products (batch)")
+    z_cb = pipe.values_to_coeffs(z_vb)
+    nz = z_vb.shape[1]
+    z_blinds = [[_rand() for _ in range(nz)] for _ in range(B)]
+    zpts = pipe.commit_coeff_rows(
+        z_cb.reshape(B * nz, n, L.NLIMBS), [b for bs in z_blinds for b in bs])
+    for bi, tr in enumerate(trs):
+        for pt in zpts[bi * nz : (bi + 1) * nz]:
+            tr.write_point(pt)
+    lk_z_cb = None
+    lk_z_blinds = [[] for _ in range(B)]
+    if lookups:
+        lk_z_vb = pipe.lookup_z_values_batch(
+            lk_a_vb, lk_s_vb, lk_ap_vb, lk_sp_vb, betas, gammas)
+        lk_z_cb = pipe.values_to_coeffs(lk_z_vb)
+        lk_z_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
+        lzpts = pipe.commit_coeff_rows(
+            lk_z_cb.reshape(B * nlk, n, L.NLIMBS),
+            [b for bs in lk_z_blinds for b in bs])
+        for bi, tr in enumerate(trs):
+            for pt in lzpts[bi * nlk : (bi + 1) * nlk]:
+                tr.write_point(pt)
+    st_t.mark("z commit (batch)")
+
+    ys = [tr.challenge(b"y").v for tr in trs]
+
+    # --- quotient ---------------------------------------------------------
+    inst_cb = pipe.values_to_coeffs(inst_vb)
+    advice_eb = pipe.to_ext(advice_cb)
+    inst_eb = pipe.to_ext(inst_cb)
+    z_eb = pipe.to_ext(z_cb)
+    lk_kwargs = {}
+    if lookups:
+        lk_kwargs = dict(
+            lk_a_eb=pipe.to_ext(lk_ap_cb),
+            lk_s_eb=pipe.to_ext(lk_sp_cb),
+            lk_z_eb=pipe.to_ext(lk_z_cb),
+        )
+    st_t.mark("extend (batch)", advice_eb, inst_eb, z_eb)
+    h_all_b = pipe.quotient_coeffs_batch(
+        advice_eb, inst_eb, z_eb, betas, gammas, ys, thetas, **lk_kwargs)
+    tail = _from_mont_jit(h_all_b[:, NUM_H_PIECES * n :])
+    assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
+    st_t.mark("quotient eval (batch)")
+    h_pieces_b = h_all_b[:, : NUM_H_PIECES * n].reshape(B, NUM_H_PIECES, n, L.NLIMBS)
+    h_blinds = [[_rand() for _ in range(NUM_H_PIECES)] for _ in range(B)]
+    hpts = pipe.commit_coeff_rows(
+        h_pieces_b.reshape(B * NUM_H_PIECES, n, L.NLIMBS),
+        [b for bs in h_blinds for b in bs])
+    for bi, tr in enumerate(trs):
+        for pt in hpts[bi * NUM_H_PIECES : (bi + 1) * NUM_H_PIECES]:
+            tr.write_point(pt)
+    st_t.mark("h commit (batch)")
+
+    xs = [tr.challenge(b"x").v for tr in trs]
+
+    # --- per-proof evals + multiopen (native, threaded) -----------------
+    from ..native import hostops as H
+    from .native_open import multiopen_open_native
+
+    assert H.available(), "batched prover requires the native engine for multiopen"
+    kind_order = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
+    queries = pipe.queries
+    fixed_c_h = H.u16_to_u64(np.asarray(jax.device_get(st["fixed_c"])))
+    sigma_c_h = H.u16_to_u64(np.asarray(jax.device_get(st["sigma_c"])))
+    advice_c_h = H.u16_to_u64(np.asarray(jax.device_get(advice_cb)))
+    z_c_h = H.u16_to_u64(np.asarray(jax.device_get(z_cb)))
+    h_c_h = H.u16_to_u64(np.asarray(jax.device_get(h_pieces_b)))
+    if lookups:
+        ap_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_ap_cb)))
+        sp_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_sp_cb)))
+        lz_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_z_cb)))
+    from ..native import FIELD_FP as _NFP
+
+    def finish_one(bi):
+        tr = trs[bi]
+        x = xs[bi]
+        empty = np.zeros((0, n, 4), np.dtype("<u8"))
+        kind_stacks = {
+            ADVICE: (advice_c_h[bi], advice_blinds[bi]),
+            FIXED: (fixed_c_h, [0] * fixed_c_h.shape[0]),
+            SIGMA: (sigma_c_h, [0] * sigma_c_h.shape[0]),
+            Z: (z_c_h[bi], z_blinds[bi]),
+            LOOKUP_A: (ap_c_h[bi] if lookups else empty, lk_ap_blinds[bi]),
+            LOOKUP_S: (sp_c_h[bi] if lookups else empty, lk_sp_blinds[bi]),
+            LOOKUP_Z: (lz_c_h[bi] if lookups else empty, lk_z_blinds[bi]),
+            QUOTIENT: (h_c_h[bi], h_blinds[bi]),
+        }
+        rotset = sorted({rot % n for (_, _, rot) in queries})
+        points = {rot: x * pow(omega, rot, P) % P for rot in rotset}
+        all_coeffs = np.concatenate(
+            [kind_stacks[kd][0] for kd in kind_order if kind_stacks[kd][0].shape[0]],
+            axis=0)
+        offsets = {}
+        off = 0
+        for kd in kind_order:
+            offsets[kd] = off
+            off += kind_stacks[kd][0].shape[0]
+        ptsm = H.to_mont(_NFP, H.ints_to_u64([points[rot] for rot in rotset]))
+        ev_ints = H.u64_to_ints(
+            H.from_mont(_NFP, H.poly_eval_many(_NFP, all_coeffs, ptsm)))
+        ncols_all = all_coeffs.shape[0]
+        evals_host = {}
+        for qi, rot in enumerate(rotset):
+            for kd in kind_order:
+                base = offsets[kd]
+                for ci in range(kind_stacks[kd][0].shape[0]):
+                    evals_host[(kd, ci, rot)] = ev_ints[qi * ncols_all + base + ci]
+        entries = []
+        for kind, idx, rot in queries:
+            v = evals_host[(kind, idx, rot % n)]
+            tr.write_scalar(Fp(v))
+            entries.append({
+                "coeff_idx": offsets[kind] + idx,
+                "blind": kind_stacks[kind][1][idx],
+                "point": points[rot % n],
+                "value": v,
+            })
+        multiopen_open_native(k, all_coeffs, entries, tr)
+        return tr.bytes()
+
+    # transcripts are per proof: the native tails run concurrently (the C
+    # engine releases the GIL; cap threads to avoid OpenMP oversubscription)
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(4, B)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            proofs = list(ex.map(finish_one, range(B)))
+    else:
+        proofs = [finish_one(0)]
+    st_t.mark("evals + multiopen + IPA (per proof)")
+    return proofs
 
 
 def multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr):
