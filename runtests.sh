@@ -4,4 +4,7 @@
 # force the CPU backend with an 8-device virtual mesh.
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
-exec python -m pytest "${@:-tests/ -x -q}"
+if [ "$#" -eq 0 ]; then
+    set -- tests/ -x -q
+fi
+exec python -m pytest "$@"

@@ -113,26 +113,46 @@ def _pk_store(key, pk):
         pass
 
 
+_SRC_CLOSURE_DIGEST: str | None = None
+
+
+def _source_closure_digest() -> str:
+    """Digest of EVERY source file that can influence a proving key's layout:
+    the whole circuits/ gadget library, the plonk keygen/layout code, and the
+    shared constants. Round-2 postmortem: hashing only the circuit module +
+    two gadget files let edits to spread.py/ec_gadgets.py silently poison the
+    on-disk cache ("quotient degree overflow" on every later proof). Hashing
+    the full closure trades a few false invalidations for never serving a
+    stale key."""
+    global _SRC_CLOSURE_DIGEST
+    if _SRC_CLOSURE_DIGEST is not None:
+        return _SRC_CLOSURE_DIGEST
+    import hashlib
+    import os
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.blake2b(digest_size=8)
+    paths = []
+    for sub in ("circuits", "plonk", "crypto", "apps"):
+        d = os.path.join(pkg_root, sub)
+        if os.path.isdir(d):
+            paths += [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".py")]
+    paths.append(os.path.join(pkg_root, "core", "constants.py"))
+    for p in sorted(paths):
+        try:
+            with open(p, "rb") as f:
+                h.update(os.path.basename(p).encode())
+                h.update(f.read())
+        except OSError:
+            pass
+    _SRC_CLOSURE_DIGEST = h.hexdigest()
+    return _SRC_CLOSURE_DIGEST
+
+
 def get_proving_key(circuit_cls, k: int):
     """Cached keygen for a circuit class at domain size 2^k (memory + disk)."""
-    import inspect
-
-    # cache key includes a digest of the circuit-class source (and the shared
-    # gadget/gate modules) so editing a circuit invalidates its disk key
-    try:
-        import hashlib
-
-        from ..circuits import blake2s as _b2, gadgets as _gd
-
-        src = (
-            inspect.getsource(inspect.getmodule(circuit_cls))
-            + inspect.getsource(_gd)
-            + inspect.getsource(_b2)
-        )
-        digest = hashlib.blake2b(src.encode(), digest_size=8).hexdigest()
-    except Exception:
-        digest = "nosrc"
-    key = (circuit_cls.__module__, circuit_cls.__qualname__, k, digest)
+    key = (circuit_cls.__module__, circuit_cls.__qualname__, k,
+           _source_closure_digest())
     with _PK_LOCK:
         pk = _PK_CACHE.get(key)
     if pk is None:

@@ -85,6 +85,14 @@ def lib():
             ctypes.c_int, u64p, u64p, u64p,
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ]
+        so.taiga_ec_msm_many.argtypes = [
+            ctypes.c_int, u64p, u64p, u64p, ctypes.c_long, ctypes.c_long,
+        ]
+        so.taiga_tape_eval.argtypes = [
+            ctypes.c_int, u64p, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            u64p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,
+        ]
         _init_constants(so)
         _lib = so
         return _lib

@@ -198,6 +198,38 @@ def msm(field: int, pts9: np.ndarray, scalars_plain: np.ndarray) -> tuple[int, i
     )
 
 
+def msm_many(field: int, pts9: np.ndarray, scalars_plain: np.ndarray) -> np.ndarray:
+    """C MSMs over the same base: pts9 (n, 9) u64, scalars (C, n, 4) plain
+    -> (C, 9) u64 affine plain rows."""
+    p = np.ascontiguousarray(pts9, dtype=U64)
+    s = np.ascontiguousarray(scalars_plain, dtype=U64)
+    C, n = s.shape[0], s.shape[1]
+    out = np.zeros((C, 9), dtype=U64)
+    lib().taiga_ec_msm_many(field, _ptr(out), _ptr(p), _ptr(s), C, n)
+    return out
+
+
+def tape_eval(field: int, code: np.ndarray, scalars_mont: np.ndarray,
+              tables: list[np.ndarray], domain: int, num_regs: int,
+              out_reg: int) -> np.ndarray:
+    """Run a compiled constraint tape (plonk/tape.py) over the whole domain.
+    tables[t] is a (cols_t, domain, 4) u64 Montgomery stack; returns the
+    accumulator column (domain, 4) Montgomery."""
+    c = np.ascontiguousarray(code, dtype=np.int32)
+    s = np.ascontiguousarray(scalars_mont, dtype=U64) if scalars_mont.size \
+        else np.zeros((1, 4), dtype=U64)
+    tbls = [np.ascontiguousarray(t, dtype=U64) for t in tables]
+    ptrs = (ctypes.c_void_p * len(tbls))(
+        *[t.ctypes.data_as(ctypes.c_void_p) for t in tbls]
+    )
+    out = np.empty((domain, 4), dtype=U64)
+    lib().taiga_tape_eval(
+        field, _ptr(out), c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c.shape[0], _ptr(s), ptrs, domain, num_regs, out_reg,
+    )
+    return out
+
+
 def points_to_rows(points) -> np.ndarray:
     """List of curve points (crypto.curves affine API) -> (n, 9) u64 rows."""
     buf = bytearray()

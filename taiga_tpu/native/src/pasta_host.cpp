@@ -468,14 +468,24 @@ static void jadd_mixed(JPoint& r, const APoint& q, const Field& f) {
     mod_add(r.Z, t, t, f);        // Z3 = 2*Z1*H (madd-2007-bl)
 }
 
+static int msm_window(long n) {
+    // Pick c minimizing estimated mont_muls: ceil(256/c) windows, each
+    // sweeping n mixed adds (~8 muls) plus a 2*2^c full-add bucket
+    // reduction (~16 muls each).
+    int best_c = 4;
+    double best = 1e30;
+    for (int c = 4; c <= 16; c++) {
+        double windows = (256 + c - 1) / c;
+        double cost = windows * ((double)n * 8.0 + 2.0 * (double)(1L << c) * 16.0);
+        if (cost < best) { best = cost; best_c = c; }
+    }
+    return best_c;
+}
+
 static void msm_pippenger(int field_id, u64* out, const u64* pts,
                           const u64* scalars, long n) {
     const Field& f = g_fields[field_id];
-    // window size: ~log2(n) - 1, clamped
-    int c = 4;
-    long m = n;
-    while (m > 16) { c++; m >>= 1; }
-    if (c > 13) c = 13;
+    int c = msm_window(n);
     int n_windows = (256 + c - 1) / c;
     long nbuckets = 1L << c;
 
@@ -616,6 +626,77 @@ extern "C" {
 void taiga_ec_msm(int field_id, u64* out, const u64* pts, const u64* scalars,
                   long n) {
     msm_pippenger(field_id, out, pts, scalars, n);
+}
+
+// C MSMs over the SAME base points (the prover's per-column commitments):
+// scalars (C, n, 4) plain, out (C, 9). Base converted to Montgomery once;
+// (column, window) tasks threaded — better load balance than per-column
+// serial Pippenger calls.
+void taiga_ec_msm_many(int field_id, u64* out, const u64* pts,
+                       const u64* scalars, long C, long n) {
+    const Field& f = g_fields[field_id];
+    int c = msm_window(n);
+    int n_windows = (256 + c - 1) / c;
+    long nbuckets = 1L << c;
+
+    std::vector<APoint> ap(n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const u64* p = pts + 9 * i;
+        ap[i].inf = p[8] != 0;
+        if (!ap[i].inf) {
+            to_mont(ap[i].X, p, f);
+            to_mont(ap[i].Y, p + 4, f);
+        }
+    }
+
+    std::vector<JPoint> wsum((size_t)C * n_windows);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (long task = 0; task < C * n_windows; task++) {
+        long col = task / n_windows;
+        int w = (int)(task % n_windows);
+        const u64* sc = scalars + 4 * n * col;
+        std::vector<JPoint> buckets(nbuckets);
+        std::vector<bool> used(nbuckets, false);
+        int bit0 = w * c;
+        for (long i = 0; i < n; i++) {
+            if (ap[i].inf) continue;
+            const u64* s = sc + 4 * i;
+            int limb = bit0 / 64, off = bit0 % 64;
+            u64 d = s[limb] >> off;
+            if (off + c > 64 && limb < 3) d |= s[limb + 1] << (64 - off);
+            d &= (nbuckets - 1);
+            if (!d) continue;
+            if (!used[d]) { jset_identity(buckets[d], f); used[d] = true; }
+            jadd_mixed(buckets[d], ap[i], f);
+        }
+        JPoint running, total;
+        jset_identity(running, f);
+        jset_identity(total, f);
+        for (long j = nbuckets - 1; j >= 1; j--) {
+            if (used[j]) jadd(running, running, buckets[j], f);
+            jadd(total, total, running, f);
+        }
+        wsum[task] = total;
+    }
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long col = 0; col < C; col++) {
+        JPoint acc;
+        jset_identity(acc, f);
+        for (int w = n_windows - 1; w >= 0; w--) {
+            for (int d = 0; d < c && w != n_windows - 1; d++)
+                jdouble(acc, acc, f);
+            jadd(acc, acc, wsum[(size_t)col * n_windows + w], f);
+        }
+        jto_affine(out + 9 * col, acc, f);
+    }
 }
 
 void taiga_vec_to_mont(int field_id, u64* out, const u64* a, long n) {
@@ -809,6 +890,85 @@ void taiga_ec_fold(int field_id, u64* out, const u64* lo, const u64* hi,
             mont_mul(t, res[i].Y, zi3, f);
             from_mont(out + 9 * i + 4, t, f);
             out[9 * i + 8] = 0;
+        }
+    }
+}
+
+// --- flat-tape constraint evaluator -----------------------------------------
+// Executes a compiled expression tape (plonk/tape.py) over the whole domain:
+// the quotient numerator's Horner-in-y accumulation in ONE native call.
+// code rows: (op, dst, a, b, c) int32. Ops: 0 LOAD dst<-tables[a][b] rot c;
+// 1 ADD dst<-r[a]+r[b]; 2 ADDS dst<-r[a]+scalar[b]; 3 MUL dst<-r[a]*r[b];
+// 4 MULS dst<-r[a]*scalar[b]; 5 NEG dst<--r[a].
+// tables: array of T pointers, tables[t] = (cols_t, domain, 4) u64 Montgomery,
+// contiguous. scalars: (S, 4) Montgomery. out: (domain, 4) — register
+// `out_reg` after the last instruction. Chunked; OpenMP over chunks.
+void taiga_tape_eval(int field_id, u64* out, const int32_t* code, long n_ins,
+                     const u64* scalars, const u64* const* tables,
+                     long domain, int num_regs, int out_reg) {
+    const Field& f = g_fields[field_id];
+    const long CH = 1024 < domain ? 1024 : domain;
+    const long n_chunks = (domain + CH - 1) / CH;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<u64> regs((size_t)num_regs * CH * 4);
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (long ch = 0; ch < n_chunks; ch++) {
+            const long base = ch * CH;
+            const long len = (base + CH <= domain) ? CH : (domain - base);
+            for (long ins = 0; ins < n_ins; ins++) {
+                const int32_t* I = code + 5 * ins;
+                const int op = I[0];
+                u64* dst = regs.data() + (size_t)I[1] * CH * 4;
+                if (op == 0) {  // LOAD
+                    const u64* tbl = tables[I[2]];
+                    const u64* col = tbl + (size_t)I[3] * domain * 4;
+                    long rot = I[4] % domain;
+                    if (rot < 0) rot += domain;
+                    long src = base + rot;
+                    if (src >= domain) src -= domain;
+                    long first = domain - src;
+                    if (first >= len) {
+                        std::memcpy(dst, col + 4 * src, (size_t)len * 32);
+                    } else {
+                        std::memcpy(dst, col + 4 * src, (size_t)first * 32);
+                        std::memcpy(dst + 4 * first, col,
+                                    (size_t)(len - first) * 32);
+                    }
+                } else if (op == 1) {  // ADD
+                    const u64* a = regs.data() + (size_t)I[2] * CH * 4;
+                    const u64* b = regs.data() + (size_t)I[3] * CH * 4;
+                    for (long i = 0; i < len; i++)
+                        mod_add(dst + 4 * i, a + 4 * i, b + 4 * i, f);
+                } else if (op == 2) {  // ADDS
+                    const u64* a = regs.data() + (size_t)I[2] * CH * 4;
+                    const u64* s = scalars + 4 * I[3];
+                    for (long i = 0; i < len; i++)
+                        mod_add(dst + 4 * i, a + 4 * i, s, f);
+                } else if (op == 3) {  // MUL
+                    const u64* a = regs.data() + (size_t)I[2] * CH * 4;
+                    const u64* b = regs.data() + (size_t)I[3] * CH * 4;
+                    for (long i = 0; i < len; i++)
+                        mont_mul(dst + 4 * i, a + 4 * i, b + 4 * i, f);
+                } else if (op == 4) {  // MULS
+                    const u64* a = regs.data() + (size_t)I[2] * CH * 4;
+                    const u64* s = scalars + 4 * I[3];
+                    for (long i = 0; i < len; i++)
+                        mont_mul(dst + 4 * i, a + 4 * i, s, f);
+                } else {  // NEG
+                    const u64* a = regs.data() + (size_t)I[2] * CH * 4;
+                    u64 zero[4] = {0, 0, 0, 0};
+                    for (long i = 0; i < len; i++)
+                        mod_sub(dst + 4 * i, zero, a + 4 * i, f);
+                }
+            }
+            std::memcpy(out + 4 * base,
+                        regs.data() + (size_t)out_reg * CH * 4,
+                        (size_t)len * 32);
         }
     }
 }

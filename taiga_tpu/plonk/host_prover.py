@@ -129,9 +129,16 @@ def _commit_rows(k: int, coeff_rows: np.ndarray, blinds) -> list[VestaPoint]:
     w = get_params(k).w
     out = []
     plain = H.from_mont(FIELD_FP, coeff_rows)
+    pts = H.msm_many(FIELD_FQ, rows, plain)
     for i in range(coeff_rows.shape[0]):
-        x, y, inf = H.msm(FIELD_FQ, rows, plain[i])
-        pt = VestaPoint.identity() if inf else VestaPoint.from_xy(x, y)
+        raw = pts[i].tobytes()
+        if pts[i][8]:
+            pt = VestaPoint.identity()
+        else:
+            pt = VestaPoint.from_xy(
+                int.from_bytes(raw[:32], "little"),
+                int.from_bytes(raw[32:64], "little"),
+            )
         b = blinds[i]
         out.append(pt + w * b if b else pt)
     return out
@@ -262,6 +269,9 @@ def _host_static(pk: ProvingKey):
         "exprs": build_constraints(vk.cs, vk.perm_cols, vk.usable_rows),
     }
     st["queries"] = collect_queries(st["exprs"], vk.cs.num_fixed)
+    from .tape import compile_tape
+
+    st["tape"] = compile_tape(st["exprs"], EXT_FACTOR)
     pk._host_static = st
     return st
 
@@ -438,15 +448,19 @@ def create_proof_host(pk: ProvingKey, circuit, instance) -> bytes:
         LBLIND: st["lblind"][None],
     }
     st_t.mark("extend advice/inst/z")
-    ch = {"beta": beta_m, "gamma": gamma_m, "theta": _mont1(theta),
-          "y": _mont1(y)}
-    y_m = _mont1(y)
-    acc = None
-    for e in st["exprs"]:
-        val = _ev(e, ext_tables, ch, ne, EXT_FACTOR)
-        if val.ndim == 1:
-            val = np.broadcast_to(val, (ne, 4)).copy()
-        acc = val if acc is None else H.vec_add(FIELD_FP, H.vec_mul(FIELD_FP, acc, y_m), val)
+    tape = st["tape"]
+    scal = tape.scalar_values(
+        {"beta": beta, "gamma": gamma, "theta": theta, "y": y}
+    )
+    scal_mont = H.to_mont(FIELD_FP, H.ints_to_u64(scal)) if scal else \
+        np.zeros((0, 4), U64)
+    from .tape import TABLE_KINDS
+
+    acc = H.tape_eval(
+        FIELD_FP, tape.code, scal_mont,
+        [ext_tables[kd] for kd in TABLE_KINDS],
+        ne, tape.num_regs, tape.out_reg,
+    )
     acc = H.vec_mul(FIELD_FP, acc, st["zh_inv"])
     h_all = _coset_intt(acc, k + 3)
     tail = H.from_mont(FIELD_FP, h_all[NUM_H_PIECES * n :])
