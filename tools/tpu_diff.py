@@ -38,9 +38,9 @@ def rand_field_u64(shape) -> np.ndarray:
     return out
 
 
-def u64_to_dev(a: np.ndarray) -> jnp.ndarray:
+def u64_to_dev(a: np.ndarray, field=FIELD_FP) -> jnp.ndarray:
     """(…, 4) u64 plain -> device (…, 16) Montgomery limbs."""
-    m = H.to_mont(FIELD_FP, a.reshape(-1, 4)).reshape(a.shape)
+    m = H.to_mont(field, a.reshape(-1, 4)).reshape(a.shape)
     return jnp.asarray(H.u64_to_u16(m))
 
 
@@ -152,9 +152,48 @@ def check_evals():
                time.time() - t0)
 
 
+def _vesta_lm(pts):
+    """Python Vesta points -> limb-major (16, n) PROJECTIVE device coords
+    (Fq Montgomery); identity = (0:1:0)."""
+    from taiga_tpu.native import FIELD_FQ
+
+    xs = np.stack([np.frombuffer(
+        (0 if p.is_identity() else p.x.v).to_bytes(32, "little"), np.uint64)
+        for p in pts])
+    ys = np.stack([np.frombuffer(
+        (1 if p.is_identity() else p.y.v).to_bytes(32, "little"), np.uint64)
+        for p in pts])
+    zs = np.stack([np.frombuffer(
+        (0 if p.is_identity() else 1).to_bytes(32, "little"), np.uint64)
+        for p in pts])
+    return (u64_to_dev(xs, FIELD_FQ).T, u64_to_dev(ys, FIELD_FQ).T,
+            u64_to_dev(zs, FIELD_FQ).T)
+
+
+def _lm_to_vesta(X, Y, Z, lanes):
+    """Decode selected lanes of a limb-major projective device result."""
+    from taiga_tpu.native import FIELD_FQ
+    from taiga_tpu.crypto.curves import VestaPoint
+    from taiga_tpu.crypto.fields import Fq
+
+    Xp = H.from_mont(FIELD_FQ, dev_to_u64(jnp.asarray(X).T))
+    Yp = H.from_mont(FIELD_FQ, dev_to_u64(jnp.asarray(Y).T))
+    Zp = H.from_mont(FIELD_FQ, dev_to_u64(jnp.asarray(Z).T))
+    out = {}
+    for i in lanes:
+        Zi = int.from_bytes(Zp[i].tobytes(), "little")
+        if Zi == 0:
+            out[i] = VestaPoint.identity()
+        else:
+            zi = pow(Zi, -1, Fq.MODULUS)
+            x = int.from_bytes(Xp[i].tobytes(), "little") * zi % Fq.MODULUS
+            y = int.from_bytes(Yp[i].tobytes(), "little") * zi % Fq.MODULUS
+            out[i] = VestaPoint.from_xy(x, y)
+    return out
+
+
 def check_ecadd():
     from taiga_tpu.ops import ff_kernels as FK
-    from taiga_tpu.crypto.curves import VestaPoint
     from taiga_tpu.plonk.srs import get_params
 
     for n in (4096, 32768):
@@ -162,33 +201,142 @@ def check_ecadd():
         idx = RNG.integers(0, len(g), size=2 * n)
         pa = [g[i] for i in idx[:n]]
         pb = [g[i] for i in idx[n:]]
-        ax = u64_to_dev(np.stack([np.frombuffer(p.x.v.to_bytes(32, "little"), np.uint64) for p in pa])).T
-        ay = u64_to_dev(np.stack([np.frombuffer(p.y.v.to_bytes(32, "little"), np.uint64) for p in pa])).T
-        bx = u64_to_dev(np.stack([np.frombuffer(p.x.v.to_bytes(32, "little"), np.uint64) for p in pb])).T
-        by = u64_to_dev(np.stack([np.frombuffer(p.y.v.to_bytes(32, "little"), np.uint64) for p in pb])).T
-        one = jnp.broadcast_to(jnp.asarray(L.FQ.one_mont, jnp.uint32)[:, None], (16, n))
+        ax, ay, az = _vesta_lm(pa)
+        bx, by, bz = _vesta_lm(pb)
         t0 = time.time()
-        X, Y, Z = FK.ec_add_proj_lm(ax, ay, one, bx, by, one, field="fq")
-        Xp = H.from_mont(1, dev_to_u64(X.T))
-        Yp = H.from_mont(1, dev_to_u64(Y.T))
-        Zp = H.from_mont(1, dev_to_u64(Z.T))
+        X, Y, Z = FK.ec_add_proj_lm(ax, ay, az, bx, by, bz, field="fq")
+        lanes = list(range(0, n, max(1, n // 64)))
+        got = _lm_to_vesta(X, Y, Z, lanes)
         ok = True
         bad = ""
-        from taiga_tpu.crypto.fields import Fq
-        for i in range(0, n, max(1, n // 64)):  # spot-check lanes
-            want = pa[i] + pb[i]
-            Zi = int.from_bytes(Zp[i].tobytes(), "little")
-            if Zi == 0:
-                ok = want.is_identity()
-            else:
-                zi = pow(Zi, -1, Fq.MODULUS)
-                x = int.from_bytes(Xp[i].tobytes(), "little") * zi % Fq.MODULUS
-                y = int.from_bytes(Yp[i].tobytes(), "little") * zi % Fq.MODULUS
-                ok = (not want.is_identity()) and want.x.v == x and want.y.v == y
-            if not ok:
+        for i in lanes:
+            if got[i] != pa[i] + pb[i]:
+                ok = False
                 bad = f"lane {i}"
                 break
         report(f"ec_add_proj n={n}", ok, time.time() - t0, bad)
+
+
+def check_fold():
+    """IPA generator fold kernel (ec_fold_shared_lm) vs native taiga_ec_fold
+    at the production round widths (k=15 round 1 = 16384 lanes)."""
+    from taiga_tpu.ops import ff_kernels as FK
+    from taiga_tpu.native import FIELD_FQ
+    from taiga_tpu.crypto.curves import VestaPoint
+    from taiga_tpu.plonk.msm_claim import srs_host_rows
+
+    FQMOD = 1 << 255  # placeholder unused
+    for k, half in ((15, 16384), (13, 4096), (13, 32)):
+        rows = srs_host_rows(max(k, 1))
+        lo9 = rows[:half]
+        hi9 = rows[half : 2 * half]
+        scalar = int(RNG.integers(1, 1 << 62)) | (1 << 250)
+        scalar %= Fp.MODULUS
+        pts_lo = [
+            VestaPoint.identity() if r[8] else VestaPoint.from_xy(
+                int.from_bytes(r.tobytes()[:32], "little"),
+                int.from_bytes(r.tobytes()[32:64], "little"))
+            for r in lo9
+        ]
+        pts_hi = [
+            VestaPoint.identity() if r[8] else VestaPoint.from_xy(
+                int.from_bytes(r.tobytes()[:32], "little"),
+                int.from_bytes(r.tobytes()[32:64], "little"))
+            for r in hi9
+        ]
+        glo = _vesta_lm(pts_lo)
+        ghi = _vesta_lm(pts_hi)
+        t0 = time.time()
+        import taiga_tpu.ops.limbs as LL
+        X, Y, Z = FK.ec_fold_shared_lm(
+            *glo, *ghi, jnp.asarray(LL.int_to_limbs(scalar))[None, :], field="fq"
+        )
+        want9 = H.ec_fold(FIELD_FQ, lo9, hi9, scalar)
+        lanes = list(range(0, half, max(1, half // 64)))
+        got = _lm_to_vesta(X, Y, Z, lanes)
+        ok = True
+        bad = ""
+        for i in lanes:
+            r = want9[i]
+            want = VestaPoint.identity() if r[8] else VestaPoint.from_xy(
+                int.from_bytes(r.tobytes()[:32], "little"),
+                int.from_bytes(r.tobytes()[32:64], "little"))
+            if got[i] != want:
+                ok = False
+                bad = f"lane {i}"
+                break
+        report(f"ec_fold k={k} half={half}", ok, time.time() - t0, bad)
+
+
+def check_lrmsm():
+    """The padded projective 2-column MSM exactly as plonk/ipa._lr_msm calls
+    it (in_form='projective' + identity padding) — not covered by check_msm."""
+    from taiga_tpu.ops import msm as msm_mod, ec
+    from taiga_tpu.native import FIELD_FQ
+    from taiga_tpu.crypto.curves import VestaPoint
+    from taiga_tpu.plonk.msm_claim import srs_host_rows
+    from taiga_tpu.plonk.ipa import _pad_pts_lm
+
+    for k, half, pad in ((15, 16384, 0), (15, 1024, 1024), (13, 256, 256)):
+        rows = srs_host_rows(k)[: 2 * half]
+        pts = [
+            VestaPoint.identity() if r[8] else VestaPoint.from_xy(
+                int.from_bytes(r.tobytes()[:32], "little"),
+                int.from_bytes(r.tobytes()[32:64], "little"))
+            for r in rows
+        ]
+        g_lm = _vesta_lm(pts)
+        a = rand_field_u64((2, 2 * half))
+        a[0, :half] = 0  # col0 = [0 | hi-style]; col1 = [lo | 0]
+        a[1, half:] = 0
+        cols = jnp.asarray(H.u64_to_u16(a))
+        if pad:
+            cols = jnp.pad(cols, [(0, 0), (0, pad), (0, 0)])
+        t0 = time.time()
+        out = msm_mod.msm_multi(*_pad_pts_lm(g_lm, pad), cols, field="fq",
+                                in_form="projective")
+        got = ec.points_from_device((out[:, 0], out[:, 1], out[:, 2]), VestaPoint)
+        ok = True
+        bad = ""
+        for c in range(2):
+            x, y, inf = H.msm(FIELD_FQ, rows, a[c])
+            want = VestaPoint.identity() if inf else VestaPoint.from_xy(x, y)
+            if got[c] != want:
+                ok = False
+                bad = f"col {c}"
+                break
+        report(f"lr_msm half={half} pad={pad}", ok, time.time() - t0, bad)
+
+
+def check_dots():
+    for n in (1 << 14, 1 << 15):
+        a = rand_field_u64((n,))
+        b = rand_field_u64((n,))
+        am = H.to_mont(FIELD_FP, a)
+        bm = H.to_mont(FIELD_FP, b)
+        t0 = time.time()
+        got = dev_to_u64(poly_mod.mont_dot(u64_to_dev(a), u64_to_dev(b), "fp"))
+        want = H.vec_sum(FIELD_FP, H.vec_mul(FIELD_FP, am, bm))
+        report(f"mont_dot n={n}", np.array_equal(got, want), time.time() - t0)
+
+
+def check_synthdiv():
+    for n in (1 << 13, 1 << 15):
+        a = rand_field_u64((3, n))
+        pt = int(RNG.integers(1, 1 << 62))
+        pt_inv = pow(pt, -1, P)
+        am = H.to_mont(FIELD_FP, a.reshape(-1, 4)).reshape(3, n, 4)
+        t0 = time.time()
+        got = dev_to_u64(poly_mod.synthetic_div(
+            u64_to_dev(a),
+            u64_to_dev(np.frombuffer(pt.to_bytes(32, "little"), np.uint64)),
+            u64_to_dev(np.frombuffer(pt_inv.to_bytes(32, "little"), np.uint64)),
+            "fp",
+        ))
+        pm = H.to_mont(FIELD_FP, H.ints_to_u64([pt]))
+        want = np.stack([H.poly_divide(FIELD_FP, am[i], pm[0]) for i in range(3)])
+        report(f"synthetic_div n={n}", np.array_equal(got, want),
+               time.time() - t0)
 
 
 STAGES = {
@@ -197,6 +345,10 @@ STAGES = {
     "cumprod": check_cumprod,
     "evals": check_evals,
     "ecadd": check_ecadd,
+    "fold": check_fold,
+    "lrmsm": check_lrmsm,
+    "dots": check_dots,
+    "synthdiv": check_synthdiv,
 }
 
 if __name__ == "__main__":
