@@ -21,6 +21,7 @@ with the sign of y (oddness) in the top bit; identity is 32 zero bytes.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from .fields import Field, Fp, Fq
 
@@ -569,3 +570,58 @@ def pallas_hash_to_curve(domain_prefix: str, message: bytes) -> PallasPoint:
 
 def vesta_hash_to_curve(domain_prefix: str, message: bytes) -> VestaPoint:
     return hash_to_curve(VestaPoint, domain_prefix, message)
+
+
+# --- GLV endomorphism (j-invariant 0: phi(x, y) = (zeta*x, y) = [lam] P) ----
+# Both Pasta curves are y^2 = x^3 + 5 over fields with p = q = 1 (mod 3), so
+# they carry the cube-root-of-unity endomorphism. zeta lives in the
+# COORDINATE field, lam in the SCALAR field; the matching (zeta, lam) pair is
+# found empirically on the generator and cached. Used to split 255-bit
+# scalars into two ~128-bit halves (native ec_fold / scalar muls).
+
+
+@lru_cache(maxsize=None)
+def glv_constants(curve: type[CurvePoint]):
+    """(zeta, lam, basis) with [lam]P == (zeta * P.x, P.y) for all P, and
+    basis = ((a1, b1), (a2, b2)) short lattice vectors for decomposition."""
+    F, S = curve.FIELD, curve.SCALAR
+    s = S.MODULUS
+    zeta = pow(F.GENERATOR, (F.MODULUS - 1) // 3, F.MODULUS)
+    lam = pow(S.GENERATOR, (s - 1) // 3, s)
+    g = curve.generator()
+    want_x = F(zeta) * g.x
+    if (g * lam).x != want_x:
+        lam = lam * lam % s
+        assert (g * lam).x == want_x and (g * lam).y == g.y
+    # short lattice basis for {(a, b) : a + b*lam = 0 mod s} via EEA on (s, lam)
+    r0, r1 = s, lam
+    t0, t1 = 0, 1
+    rows = []
+    import math
+
+    lim = math.isqrt(s) + 1
+    while r1:
+        q = r0 // r1
+        r0, r1 = r1, r0 - q * r1
+        t0, t1 = t1, t0 - q * t1
+        rows.append((r0, t0))
+        if r0 < lim and len(rows) >= 2:
+            break
+    (a2, t2), (a1, t1_) = rows[-2], rows[-1]
+    basis = ((a1, -t1_), (a2, -t2))
+    return zeta, lam, basis
+
+
+def glv_split(curve: type[CurvePoint], k: int):
+    """k = k1 + k2 * lam (mod s) with |k1|, |k2| ~ sqrt(s): returns
+    (k1, k2) as SIGNED ints."""
+    s = curve.SCALAR.MODULUS
+    _, lam, ((a1, b1), (a2, b2)) = glv_constants(curve)
+    k %= s
+    # round(bi * k / s)
+    c1 = (b2 * k + s // 2) // s
+    c2 = (-b1 * k + s // 2) // s
+    k1 = k - c1 * a1 - c2 * a2
+    k2 = -c1 * b1 - c2 * b2
+    assert (k1 + k2 * lam) % s == k
+    return k1, k2

@@ -74,6 +74,10 @@ def lib():
         so.taiga_vec_sum.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
         so.taiga_poly_divide.argtypes = [ctypes.c_int, u64p, u64p, u64p, ctypes.c_long]
         so.taiga_ec_fold.argtypes = [ctypes.c_int, u64p, u64p, u64p, u64p, ctypes.c_long]
+        so.taiga_ec_fold2.argtypes = [
+            ctypes.c_int, u64p, u64p, u64p,
+            u64p, ctypes.c_int, u64p, ctypes.c_int, u64p, ctypes.c_long,
+        ]
         so.taiga_vec_cumprod.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
         so.taiga_vec_batch_inv.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]
         so.taiga_vec_powers.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_long]

@@ -121,12 +121,24 @@ def poly_divide(field: int, coeffs: np.ndarray, x_mont: np.ndarray) -> np.ndarra
 
 
 def ec_fold(field: int, lo9: np.ndarray, hi9: np.ndarray, scalar: int) -> np.ndarray:
-    """out_i = lo_i + [scalar] hi_i over (n, 9) u64 affine plain rows."""
+    """out_i = lo_i + [scalar] hi_i over (n, 9) u64 affine plain rows.
+    GLV-accelerated: the 255-bit scalar splits into two ~128-bit halves via
+    the cube-root-of-unity endomorphism (crypto/curves.glv_split), and the
+    native side runs a joint-wNAF shared double chain (taiga_ec_fold2)."""
+    from ..crypto.curves import PallasPoint, VestaPoint, glv_constants, glv_split
+
     lo = np.ascontiguousarray(lo9, dtype=U64)
     hi = np.ascontiguousarray(hi9, dtype=U64)
-    s = ints_to_u64([scalar])
     out = np.empty_like(lo)
-    lib().taiga_ec_fold(field, _ptr(out), _ptr(lo), _ptr(hi), _ptr(s), lo.shape[0])
+    curve = PallasPoint if field == FIELD_FP else VestaPoint
+    zeta, _, _ = glv_constants(curve)
+    k1, k2 = glv_split(curve, scalar)
+    lib().taiga_ec_fold2(
+        field, _ptr(out), _ptr(lo), _ptr(hi),
+        _ptr(ints_to_u64([abs(k1)])), 1 if k1 < 0 else 0,
+        _ptr(ints_to_u64([abs(k2)])), 1 if k2 < 0 else 0,
+        _ptr(ints_to_u64([zeta])), lo.shape[0],
+    )
     return out
 
 

@@ -545,53 +545,152 @@ static void msm_pippenger(int field_id, u64* out, const u64* pts,
 
 // --- NTT over the 2^k domain ------------------------------------------------
 // In-place radix-2 DIT over Montgomery-form data (B rows of n = 2^k values).
-// omega supplied in PLAIN form; twiddles precomputed per call.
+// omega supplied in PLAIN form. Per-stage CONTIGUOUS twiddle tables (stage s
+// reads its 2^{s-1} twiddles sequentially — the strided W[j*tstep] indexing
+// of the naive layout thrashes cache at 2^16 domains), cached across calls
+// keyed by (field, k, omega): the prover transforms dozens of rows per proof
+// over the same three domains.
+
+struct NttPlan {
+    int field_id = -1;
+    int k = -1;
+    u64 om0 = 0, om1 = 0;
+    std::vector<u64> stage_tw;     // concatenated per-stage tables, 4*(n-1)
+    std::vector<long> stage_off;   // offset (in elements) of stage s's table
+    std::vector<long> rev;         // bit-reversal permutation
+};
+
+static NttPlan g_ntt_plans[8];
+static int g_ntt_plan_clock = 0;
+
+static NttPlan* ntt_plan(int field_id, int k, const u64* omega_plain) {
+    const Field& f = g_fields[field_id];
+    long n = 1L << k;
+    for (auto& pl : g_ntt_plans) {
+        if (pl.field_id == field_id && pl.k == k && pl.om0 == omega_plain[0] &&
+            pl.om1 == omega_plain[1])
+            return &pl;
+    }
+    NttPlan& pl = g_ntt_plans[g_ntt_plan_clock];
+    g_ntt_plan_clock = (g_ntt_plan_clock + 1) % 8;
+    pl.field_id = field_id;
+    pl.k = k;
+    pl.om0 = omega_plain[0];
+    pl.om1 = omega_plain[1];
+    u64 om[4];
+    to_mont(om, omega_plain, f);
+    pl.stage_tw.assign(4 * (n - 1), 0);
+    pl.stage_off.assign(k + 1, 0);
+    u64 one[4] = {1, 0, 0, 0};
+    long off = 0;
+    for (int s = 1; s <= k; s++) {
+        long half = 1L << (s - 1);
+        pl.stage_off[s] = off;
+        // wm = omega^(n/2^s); table[j] = wm^j
+        u64 wm[4];
+        std::memcpy(wm, om, 32);
+        for (int d = 0; d < k - s; d++) mont_sqr(wm, wm, f);
+        u64* tw = pl.stage_tw.data() + 4 * off;
+        to_mont(tw, one, f);
+        for (long j = 1; j < half; j++)
+            mont_mul(tw + 4 * j, tw + 4 * (j - 1), wm, f);
+        off += half;
+    }
+    pl.rev.assign(n, 0);
+    for (long i = 0; i < n; i++) {
+        long r = 0;
+        for (int b = 0; b < k; b++) r |= ((i >> b) & 1) << (k - 1 - b);
+        pl.rev[i] = r;
+    }
+    return &pl;
+}
+
+static void ntt_one_row(u64* d, const NttPlan& pl, const Field& f, long n,
+                        int k) {
+    for (long i = 0; i < n; i++) {
+        long r = pl.rev[i];
+        if (r > i) {
+            u64 t[4];
+            std::memcpy(t, d + 4 * i, 32);
+            std::memcpy(d + 4 * i, d + 4 * r, 32);
+            std::memcpy(d + 4 * r, t, 32);
+        }
+    }
+    for (int s = 1; s <= k; s++) {
+        long mlen = 1L << s, half = mlen >> 1;
+        const u64* tw = pl.stage_tw.data() + 4 * pl.stage_off[s];
+        for (long g = 0; g < n; g += mlen) {
+            for (long j = 0; j < half; j++) {
+                const u64* wj = tw + 4 * j;
+                u64* a = d + 4 * (g + j);
+                u64* b = d + 4 * (g + j + half);
+                u64 t[4];
+                mont_mul(t, b, wj, f);
+                mod_sub(b, a, t, f);
+                mod_add(a, a, t, f);
+            }
+        }
+    }
+}
 
 static void ntt_rows(int field_id, u64* data, long rows, int k,
                      const u64* omega_plain, int inverse) {
     const Field& f = g_fields[field_id];
     long n = 1L << k;
-    u64 om[4];
-    to_mont(om, omega_plain, f);
-    // full twiddle table W[j] = omega^j, j < n/2 (Montgomery)
-    std::vector<u64> W(4 * (n / 2));
-    u64 one[4] = {1, 0, 0, 0};
-    to_mont(W.data(), one, f);
-    for (long j = 1; j < n / 2; j++)
-        mont_mul(W.data() + 4 * j, W.data() + 4 * (j - 1), om, f);
-    // bit-reversal permutation indices
-    std::vector<long> rev(n);
-    for (long i = 0; i < n; i++) {
-        long r = 0;
-        for (int b = 0; b < k; b++) r |= ((i >> b) & 1) << (k - 1 - b);
-        rev[i] = r;
-    }
+    NttPlan* pl;
+#ifdef _OPENMP
+#pragma omp critical(ntt_plan)
+#endif
+    pl = ntt_plan(field_id, k, omega_plain);
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+#endif
+    if (rows >= nthreads || n < (1L << 12)) {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
-    for (long row = 0; row < rows; row++) {
-        u64* d = data + 4 * n * row;
-        for (long i = 0; i < n; i++) {
-            long r = rev[i];
-            if (r > i) {
-                u64 t[4];
-                std::memcpy(t, d + 4 * i, 32);
-                std::memcpy(d + 4 * i, d + 4 * r, 32);
-                std::memcpy(d + 4 * r, t, 32);
-            }
-        }
-        for (int s = 1; s <= k; s++) {
-            long mlen = 1L << s, half = mlen >> 1;
-            long tstep = n / mlen;  // twiddle stride
-            for (long g = 0; g < n; g += mlen) {
-                for (long j = 0; j < half; j++) {
-                    const u64* wj = W.data() + 4 * (j * tstep);
-                    u64* a = d + 4 * (g + j);
-                    u64* b = d + 4 * (g + j + half);
-                    u64 t[4];
-                    mont_mul(t, b, wj, f);
-                    mod_sub(b, a, t, f);
-                    mod_add(a, a, t, f);
+        for (long row = 0; row < rows; row++)
+            ntt_one_row(data + 4 * n * row, *pl, f, n, k);
+    } else {
+        // few big rows: parallelize butterflies inside each stage
+        for (long row = 0; row < rows; row++) {
+            u64* d = data + 4 * n * row;
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+            {
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+                for (long i = 0; i < n; i++) {
+                    long r = pl->rev[i];
+                    if (r > i) {
+                        u64 t[4];
+                        std::memcpy(t, d + 4 * i, 32);
+                        std::memcpy(d + 4 * i, d + 4 * r, 32);
+                        std::memcpy(d + 4 * r, t, 32);
+                    }
+                }
+                for (int s = 1; s <= k; s++) {
+                    long mlen = 1L << s, half = mlen >> 1;
+                    long nb = n >> s;  // butterfly groups
+                    const u64* tw = pl->stage_tw.data() + 4 * pl->stage_off[s];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+                    for (long g = 0; g < nb; g++) {
+                        u64* base = d + 4 * g * mlen;
+                        for (long j = 0; j < half; j++) {
+                            const u64* wj = tw + 4 * j;
+                            u64* a = base + 4 * j;
+                            u64* b = base + 4 * (j + half);
+                            u64 t[4];
+                            mont_mul(t, b, wj, f);
+                            mod_sub(b, a, t, f);
+                            mod_add(a, a, t, f);
+                        }
+                    }
                 }
             }
         }
@@ -604,16 +703,14 @@ static void ntt_rows(int field_id, u64* data, long rows, int k,
         u64 nm[4];
         to_mont(nm, nv, f);
         mont_inv(ninv, nm, f);
+        long total = rows * n;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
-        for (long row = 0; row < rows; row++) {
-            u64* d = data + 4 * n * row;
-            for (long i = 0; i < n; i++) {
-                u64 t[4];
-                mont_mul(t, d + 4 * i, ninv, f);
-                std::memcpy(d + 4 * i, t, 32);
-            }
+        for (long i = 0; i < total; i++) {
+            u64 t[4];
+            mont_mul(t, data + 4 * i, ninv, f);
+            std::memcpy(data + 4 * i, t, 32);
         }
     }
 }
@@ -870,6 +967,165 @@ void taiga_ec_fold(int field_id, u64* out, const u64* lo, const u64* hi,
         std::memcpy(pre.data(), zs.data(), 32);
         for (long i = 1; i < m; i++)
             mont_mul(pre.data() + 4 * i, pre.data() + 4 * (i - 1), zs.data() + 4 * i, f);
+        u64 inv[4];
+        mont_inv(inv, pre.data() + 4 * (m - 1), f);
+        for (long i = m - 1; i >= 1; i--) {
+            mont_mul(zinv.data() + 4 * i, inv, pre.data() + 4 * (i - 1), f);
+            mont_mul(inv, inv, zs.data() + 4 * i, f);
+        }
+        std::memcpy(zinv.data(), inv, 32);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (long j = 0; j < m; j++) {
+            long i = idx[j];
+            u64 zi2[4], zi3[4], t[4];
+            mont_sqr(zi2, zinv.data() + 4 * j, f);
+            mont_mul(zi3, zi2, zinv.data() + 4 * j, f);
+            mont_mul(t, res[i].X, zi2, f);
+            from_mont(out + 9 * i, t, f);
+            mont_mul(t, res[i].Y, zi3, f);
+            from_mont(out + 9 * i + 4, t, f);
+            out[9 * i + 8] = 0;
+        }
+    }
+}
+
+// GLV + wNAF generator fold: out_i = lo_i + [k] hi_i where the caller has
+// split k = s1*|k1| + s2*|k2|*lam (|ki| ~ 2^128) and passes zeta (plain) with
+// phi(x, y) = (zeta x, y) = [lam](x, y). Joint 4-wide wNAF over both halves
+// shares ONE ~130-step double chain per point — ~1.7x fewer field muls than
+// the 255-bit double-and-add in taiga_ec_fold.
+static void wnaf_digits(const u64 k[4], int w, signed char* out, int* len) {
+    // k as little-endian 4x64; digits odd in (-2^(w-1), 2^(w-1)), w <= 8
+    u64 v[5] = {k[0], k[1], k[2], k[3], 0};
+    int n = 0;
+    auto is_zero = [&]() {
+        return !(v[0] | v[1] | v[2] | v[3] | v[4]);
+    };
+    auto shr1 = [&]() {
+        for (int i = 0; i < 4; i++) v[i] = (v[i] >> 1) | (v[i + 1] << 63);
+        v[4] >>= 1;
+    };
+    auto sub_small = [&](long d) {
+        if (d >= 0) {
+            u64 borrow = (u64)d;
+            for (int i = 0; i < 5 && borrow; i++) {
+                u64 nv = v[i] - borrow;
+                borrow = nv > v[i] ? 1 : 0;
+                v[i] = nv;
+            }
+        } else {
+            u64 carry = (u64)(-d);
+            for (int i = 0; i < 5 && carry; i++) {
+                u64 nv = v[i] + carry;
+                carry = nv < v[i] ? 1 : 0;
+                v[i] = nv;
+            }
+        }
+    };
+    long full = 1L << w, half = 1L << (w - 1);
+    while (!is_zero()) {
+        if (v[0] & 1) {
+            long d = (long)(v[0] & (u64)(full - 1));
+            if (d >= half) d -= full;
+            out[n++] = (signed char)d;
+            sub_small(d);
+        } else {
+            out[n++] = 0;
+        }
+        shr1();
+    }
+    *len = n;
+}
+
+void taiga_ec_fold2(int field_id, u64* out, const u64* lo, const u64* hi,
+                    const u64* k1_abs, int k1_neg, const u64* k2_abs,
+                    int k2_neg, const u64* zeta_plain, long n) {
+    const Field& f = g_fields[field_id];
+    u64 zeta[4];
+    to_mont(zeta, zeta_plain, f);
+    signed char d1[264], d2[264];
+    int l1 = 0, l2 = 0;
+    wnaf_digits(k1_abs, 4, d1, &l1);
+    wnaf_digits(k2_abs, 4, d2, &l2);
+    int L = l1 > l2 ? l1 : l2;
+    std::vector<JPoint> res(n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const u64* h = hi + 9 * i;
+        JPoint Lo;
+        jfrom_affine(Lo, lo + 9 * i, f);
+        if (h[8]) {  // hi at infinity: result = lo
+            res[i] = Lo;
+            continue;
+        }
+        // Montgomery affine bases B1 = +-H, B2 = +-phi(H)
+        APoint b1, b2;
+        b1.inf = b2.inf = false;
+        to_mont(b1.X, h, f);
+        to_mont(b1.Y, h + 4, f);
+        u64 zero[4] = {0, 0, 0, 0};
+        if (k1_neg) mod_sub(b1.Y, zero, b1.Y, f);
+        mont_mul(b2.X, b1.X, zeta, f);
+        to_mont(b2.Y, h + 4, f);
+        if (k2_neg) mod_sub(b2.Y, zero, b2.Y, f);
+        // Jacobian odd-multiple tables {1,3,5,7} * B
+        JPoint t1[4], t2[4];
+        u64 one_m[4];
+        u64 one_p[4] = {1, 0, 0, 0};
+        to_mont(one_m, one_p, f);
+        auto build = [&](const APoint& b, JPoint* t) {
+            std::memcpy(t[0].X, b.X, 32);
+            std::memcpy(t[0].Y, b.Y, 32);
+            std::memcpy(t[0].Z, one_m, 32);
+            JPoint d2x;
+            jdouble(d2x, t[0], f);
+            for (int j = 1; j < 4; j++) jadd(t[j], t[j - 1], d2x, f);
+        };
+        build(b1, t1);
+        build(b2, t2);
+        JPoint R;
+        jset_identity(R, f);
+        for (int b = L - 1; b >= 0; b--) {
+            jdouble(R, R, f);
+            if (b < l1 && d1[b]) {
+                int d = d1[b];
+                JPoint t = t1[(d > 0 ? d : -d) >> 1];
+                if (d < 0) mod_sub(t.Y, zero, t.Y, f);
+                jadd(R, R, t, f);
+            }
+            if (b < l2 && d2[b]) {
+                int d = d2[b];
+                JPoint t = t2[(d > 0 ? d : -d) >> 1];
+                if (d < 0) mod_sub(t.Y, zero, t.Y, f);
+                jadd(R, R, t, f);
+            }
+        }
+        jadd(res[i], Lo, R, f);
+    }
+    // batched affine normalization (shared with taiga_ec_fold)
+    std::vector<u64> zs(4 * n);
+    long m = 0;
+    std::vector<long> idx(n);
+    for (long i = 0; i < n; i++) {
+        if (!is_zero4(res[i].Z)) {
+            std::memcpy(zs.data() + 4 * m, res[i].Z, 32);
+            idx[m++] = i;
+        } else {
+            std::memset(out + 9 * i, 0, 64);
+            out[9 * i + 8] = 1;
+        }
+    }
+    if (m) {
+        std::vector<u64> zinv(4 * m);
+        std::vector<u64> pre(4 * m);
+        std::memcpy(pre.data(), zs.data(), 32);
+        for (long i = 1; i < m; i++)
+            mont_mul(pre.data() + 4 * i, pre.data() + 4 * (i - 1),
+                     zs.data() + 4 * i, f);
         u64 inv[4];
         mont_inv(inv, pre.data() + 4 * (m - 1), f);
         for (long i = m - 1; i >= 1; i--) {

@@ -1,0 +1,64 @@
+"""Differential tests of every device (Pallas/XLA-TPU) kernel against the
+native C++ engine at PRODUCTION shapes — the regression net for the round-2
+failure class where the device prover silently corrupted k=15 proofs while
+all small-shape tests passed (VERDICT r2 weak #1/#5).
+
+Each test drives the shared stage implementations in tools/tpu_diff.py, so
+the pytest suite and the standalone probe can never drift apart.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import tpu_diff  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _fresh_failures():
+    tpu_diff.FAILURES.clear()
+    yield
+
+
+def _run(stage: str):
+    tpu_diff.STAGES[stage]()
+    assert not tpu_diff.FAILURES, tpu_diff.FAILURES
+
+
+def test_ntt_production_shapes():
+    _run("ntt")
+
+
+def test_msm_production_shapes():
+    _run("msm")
+
+
+def test_cumprod_and_inversion():
+    _run("cumprod")
+
+
+def test_poly_eval():
+    _run("evals")
+
+
+def test_ec_add_projective():
+    _run("ecadd")
+
+
+def test_ipa_generator_fold():
+    _run("fold")
+
+
+def test_lr_msm_padded_projective():
+    _run("lrmsm")
+
+
+def test_mont_dot():
+    _run("dots")
+
+
+def test_synthetic_division():
+    _run("synthdiv")
