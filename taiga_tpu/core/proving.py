@@ -240,6 +240,7 @@ class ResourceLogicVerifyingInfo:
             raise ProofError("bad resource logic public input count")
         if not verify_proof(vk, self.public_inputs, self.proof.data):
             raise ProofError(f"resource logic proof failed: {self.circuit_id}")
+        return True
 
     def get_resource_merkle_root(self) -> Fp:
         return self.public_inputs[RESOURCE_LOGIC_CIRCUIT_RESOURCE_MERKLE_ROOT_IDX]

@@ -59,13 +59,17 @@ class ComplianceVerifyingInfo:
         )
         return [cls(Proof(p), inst) for p, (inst, _) in zip(proofs, built)]
 
-    def verify(self):
+    def verify(self) -> bool:
+        """Raises ProofError on an invalid proof; returns True on success (so
+        both `cvi.verify()` and `assert cvi.verify()` styles work — the bare
+        raise-or-None convention made a valid proof fail an assert)."""
         from ..circuits.compliance import ComplianceCircuit
 
         if not self.compliance_proof.verify(
             ComplianceCircuit, self.compliance_instance.to_instance(), compliance_k()
         ):
             raise ProofError("compliance proof failed")
+        return True
 
 
 class ResourceLogicVerifyingInfoSet:
@@ -77,10 +81,12 @@ class ResourceLogicVerifyingInfoSet:
         self.app_resource_logic_verifying_info = app
         self.app_dynamic_resource_logic_verifying_info = list(dynamic)
 
-    def verify(self):
+    def verify(self) -> bool:
+        """Raises ProofError on failure; True on success."""
         self.app_resource_logic_verifying_info.verify()
         for info in self.app_dynamic_resource_logic_verifying_info:
             info.verify()
+        return True
 
     def get_resource_merkle_roots(self) -> list[Fp]:
         roots = [
@@ -144,13 +150,15 @@ class ShieldedPartialTransaction(Executable):
         return cls(c_infos, built_sets[:n_in], built_sets[n_in:], rcv_sum, hints)
 
     # --- checks (shielded_ptx.rs:137-217) -----------------------------
-    def verify_proof(self):
+    def verify_proof(self) -> bool:
+        """Raises ProofError on failure; True on success."""
         for info in self.compliances:
             info.verify()
         for info in self.inputs:
             info.verify()
         for info in self.outputs:
             info.verify()
+        return True
 
     def _check_resource_merkle_roots(self):
         root = self.get_resource_merkle_root()

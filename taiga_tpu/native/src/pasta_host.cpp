@@ -469,17 +469,219 @@ static void jadd_mixed(JPoint& r, const APoint& q, const Field& f) {
 }
 
 static int msm_window(long n) {
-    // Pick c minimizing estimated mont_muls: ceil(256/c) windows, each
-    // sweeping n mixed adds (~8 muls) plus a 2*2^c full-add bucket
-    // reduction (~16 muls each).
+    // Pick c minimizing estimated mont_muls: ceil(256/c) windows, each a
+    // batch-affine bucket accumulation (~6.5 muls per point: 1 sub + 3
+    // amortized batch-inversion muls + 2 muls + 1 sqr) plus a 2^c mixed+full
+    // suffix-sum bucket reduction (~27 muls per bucket).
     int best_c = 4;
     double best = 1e30;
     for (int c = 4; c <= 16; c++) {
         double windows = (256 + c - 1) / c;
-        double cost = windows * ((double)n * 8.0 + 2.0 * (double)(1L << c) * 16.0);
+        double cost = windows * ((double)n * 6.5 + (double)(1L << c) * 27.0);
         if (cost < best) { best = cost; best_c = c; }
     }
     return best_c;
+}
+
+// --- batch-affine bucket accumulation ----------------------------------------
+// One Pippenger window: counting-sort the points by digit, then reduce each
+// bucket by layered PAIRWISE affine additions — every layer's additions are
+// independent, so one Montgomery batch inversion serves the whole layer
+// (~6.5 muls per addition vs ~11 for a Jacobian mixed add). Exceptional
+// pairs (equal or inverse points) take the doubling/infinity branch on the
+// same shared inversion. Output: wsum = sum_d d * B_d (Jacobian).
+
+struct LPoint {  // layer point: Montgomery affine + infinity flag
+    u64 X[4], Y[4];
+    bool inf;
+};
+
+static void window_sum_affine(const Field& f, const std::vector<APoint>& ap,
+                              const u64* scalars, long n, int c, int bit0,
+                              JPoint& out) {
+    long nbuckets = 1L << c;
+    // counting sort of point indices by digit (digit 0 dropped)
+    std::vector<long> count(nbuckets, 0);
+    std::vector<int> dig(n);
+    for (long i = 0; i < n; i++) {
+        int d = 0;
+        if (!ap[i].inf) {
+            const u64* s = scalars + 4 * i;
+            int limb = bit0 / 64, off = bit0 % 64;
+            u64 v = s[limb] >> off;
+            if (off + c > 64 && limb < 3) v |= s[limb + 1] << (64 - off);
+            d = (int)(v & (u64)(nbuckets - 1));
+        }
+        dig[i] = d;
+        if (d) count[d]++;
+    }
+    std::vector<long> start(nbuckets + 1, 0);
+    for (long d = 1; d < nbuckets; d++) start[d + 1] = start[d] + count[d];
+    long total = start[nbuckets];
+    std::vector<LPoint> layer(total);
+    {
+        std::vector<long> cur(start.begin(), start.end() - 1);
+        for (long i = 0; i < n; i++) {
+            int d = dig[i];
+            if (!d) continue;
+            LPoint& L = layer[cur[d]++];
+            std::memcpy(L.X, ap[i].X, 32);
+            std::memcpy(L.Y, ap[i].Y, 32);
+            L.inf = false;
+        }
+    }
+    // bucket boundaries as (start, len) over `layer`
+    std::vector<long> bstart(nbuckets), blen(nbuckets);
+    for (long d = 1; d < nbuckets; d++) {
+        bstart[d] = start[d];
+        blen[d] = count[d];
+    }
+    // scratch for pairwise reduction
+    std::vector<LPoint> next(total ? (total + 1) / 2 + nbuckets : 0);
+    std::vector<u64> es;     // elements to invert
+    std::vector<u64> pre;    // prefix products
+    bool more = true;
+    while (more) {
+        more = false;
+        // collect pairs: for each bucket, pair adjacent points
+        long npairs = 0;
+        for (long d = 1; d < nbuckets; d++) npairs += blen[d] / 2;
+        if (!npairs) break;
+        es.assign(4 * npairs, 0);
+        struct PairRef { long d; long a; long b; int kind; };  // kind: 0 add, 1 dbl, 2 inf
+        std::vector<PairRef> prs(npairs);
+        long pi = 0;
+        u64 zero[4] = {0, 0, 0, 0};
+        for (long d = 1; d < nbuckets; d++) {
+            long s0 = bstart[d];
+            for (long j = 0; j + 1 < blen[d]; j += 2) {
+                LPoint& A = layer[s0 + j];
+                LPoint& B = layer[s0 + j + 1];
+                PairRef& pr = prs[pi];
+                pr.d = d;
+                pr.a = s0 + j;
+                pr.b = s0 + j + 1;
+                u64* e = es.data() + 4 * pi;
+                if (A.inf || B.inf) {
+                    pr.kind = 2;  // passthrough handled at emit
+                    e[0] = 1;
+                } else {
+                    u64 dx[4];
+                    mod_sub(dx, B.X, A.X, f);
+                    if (is_zero4(dx)) {
+                        u64 dy[4];
+                        mod_sub(dy, B.Y, A.Y, f);
+                        if (is_zero4(dy)) {
+                            pr.kind = 1;  // double: invert 2*y
+                            u64 y2[4];
+                            mod_add(y2, A.Y, A.Y, f);
+                            std::memcpy(e, y2, 32);
+                        } else {
+                            pr.kind = 2;  // P + (-P) = infinity
+                            e[0] = 1;
+                        }
+                    } else {
+                        pr.kind = 0;
+                        std::memcpy(e, dx, 32);
+                    }
+                }
+                pi++;
+            }
+        }
+        // batch inversion over es
+        pre.assign(4 * npairs, 0);
+        std::memcpy(pre.data(), es.data(), 32);
+        for (long i = 1; i < npairs; i++)
+            mont_mul(pre.data() + 4 * i, pre.data() + 4 * (i - 1),
+                     es.data() + 4 * i, f);
+        u64 inv[4];
+        mont_inv(inv, pre.data() + 4 * (npairs - 1), f);
+        std::vector<u64> einv(4 * npairs);
+        for (long i = npairs - 1; i >= 1; i--) {
+            mont_mul(einv.data() + 4 * i, inv, pre.data() + 4 * (i - 1), f);
+            mont_mul(inv, inv, es.data() + 4 * i, f);
+        }
+        std::memcpy(einv.data(), inv, 32);
+        // emit next layer, bucket by bucket (pairs stay in bucket order)
+        long w = 0;
+        pi = 0;
+        std::vector<long> nstart(nbuckets), nlen(nbuckets);
+        for (long d = 1; d < nbuckets; d++) {
+            nstart[d] = w;
+            long s0 = bstart[d], len = blen[d];
+            for (long j = 0; j + 1 < len; j += 2) {
+                const PairRef& pr = prs[pi];
+                const u64* ei = einv.data() + 4 * pi;
+                pi++;
+                LPoint& A = layer[pr.a];
+                LPoint& B = layer[pr.b];
+                LPoint& O = next[w];
+                if (pr.kind == 2) {
+                    if (A.inf && B.inf) {
+                        O.inf = true;
+                    } else if (A.inf) {
+                        O = B;
+                    } else if (B.inf) {
+                        O = A;
+                    } else {
+                        O.inf = true;  // cancellation
+                    }
+                    w++;
+                    continue;
+                }
+                u64 lam[4], t[4];
+                if (pr.kind == 1) {  // double: lam = 3 x^2 * (2y)^-1
+                    u64 x2[4];
+                    mont_sqr(x2, A.X, f);
+                    mod_add(t, x2, x2, f);
+                    mod_add(t, t, x2, f);
+                    mont_mul(lam, t, ei, f);
+                } else {  // add: lam = (y2 - y1) * (x2 - x1)^-1
+                    mod_sub(t, B.Y, A.Y, f);
+                    mont_mul(lam, t, ei, f);
+                }
+                u64 x3[4], y3[4];
+                mont_sqr(x3, lam, f);
+                mod_sub(x3, x3, A.X, f);
+                mod_sub(x3, x3, B.X, f);
+                mod_sub(t, A.X, x3, f);
+                mont_mul(t, lam, t, f);
+                mod_sub(y3, t, A.Y, f);
+                std::memcpy(O.X, x3, 32);
+                std::memcpy(O.Y, y3, 32);
+                O.inf = false;
+                w++;
+            }
+            if (len & 1) {  // odd leftover carries up unchanged
+                next[w++] = layer[s0 + len - 1];
+            }
+            nlen[d] = w - nstart[d];
+            if (nlen[d] > 1) more = true;
+        }
+        layer.swap(next);
+        bstart.swap(nstart);
+        blen.swap(nlen);
+        if ((long)next.size() < (w + 1) / 2 + nbuckets)
+            next.resize((w + 1) / 2 + nbuckets);
+    }
+    // suffix-sum reduction: out = sum_d d * B_d
+    JPoint running, tot;
+    jset_identity(running, f);
+    jset_identity(tot, f);
+    for (long d = nbuckets - 1; d >= 1; d--) {
+        if (blen[d]) {
+            const LPoint& L = layer[bstart[d]];
+            if (!L.inf) {
+                APoint a;
+                std::memcpy(a.X, L.X, 32);
+                std::memcpy(a.Y, L.Y, 32);
+                a.inf = false;
+                jadd_mixed(running, a, f);
+            }
+        }
+        jadd(tot, tot, running, f);
+    }
+    out = tot;
 }
 
 static void msm_pippenger(int field_id, u64* out, const u64* pts,
@@ -507,32 +709,8 @@ static void msm_pippenger(int field_id, u64* out, const u64* pts,
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1)
 #endif
-    for (int w = 0; w < n_windows; w++) {
-        std::vector<JPoint> buckets(nbuckets);
-        std::vector<bool> used(nbuckets, false);
-        int bit0 = w * c;
-        for (long i = 0; i < n; i++) {
-            if (ap[i].inf) continue;
-            const u64* s = scalars + 4 * i;
-            // extract c bits starting at bit0
-            int limb = bit0 / 64, off = bit0 % 64;
-            u64 d = s[limb] >> off;
-            if (off + c > 64 && limb < 3) d |= s[limb + 1] << (64 - off);
-            d &= (nbuckets - 1);
-            if (!d) continue;
-            if (!used[d]) { jset_identity(buckets[d], f); used[d] = true; }
-            jadd_mixed(buckets[d], ap[i], f);
-        }
-        // suffix-sum reduction: sum_j j*B_j
-        JPoint running, total;
-        jset_identity(running, f);
-        jset_identity(total, f);
-        for (long j = nbuckets - 1; j >= 1; j--) {
-            if (used[j]) jadd(running, running, buckets[j], f);
-            jadd(total, total, running, f);
-        }
-        wsum[w] = total;
-    }
+    for (int w = 0; w < n_windows; w++)
+        window_sum_affine(f, ap, scalars, n, c, w * c, wsum[w]);
 
     JPoint acc;
     jset_identity(acc, f);
@@ -757,28 +935,7 @@ void taiga_ec_msm_many(int field_id, u64* out, const u64* pts,
         long col = task / n_windows;
         int w = (int)(task % n_windows);
         const u64* sc = scalars + 4 * n * col;
-        std::vector<JPoint> buckets(nbuckets);
-        std::vector<bool> used(nbuckets, false);
-        int bit0 = w * c;
-        for (long i = 0; i < n; i++) {
-            if (ap[i].inf) continue;
-            const u64* s = sc + 4 * i;
-            int limb = bit0 / 64, off = bit0 % 64;
-            u64 d = s[limb] >> off;
-            if (off + c > 64 && limb < 3) d |= s[limb + 1] << (64 - off);
-            d &= (nbuckets - 1);
-            if (!d) continue;
-            if (!used[d]) { jset_identity(buckets[d], f); used[d] = true; }
-            jadd_mixed(buckets[d], ap[i], f);
-        }
-        JPoint running, total;
-        jset_identity(running, f);
-        jset_identity(total, f);
-        for (long j = nbuckets - 1; j >= 1; j--) {
-            if (used[j]) jadd(running, running, buckets[j], f);
-            jadd(total, total, running, f);
-        }
-        wsum[task] = total;
+        window_sum_affine(f, ap, sc, n, c, w * c, wsum[task]);
     }
 
 #ifdef _OPENMP
