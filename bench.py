@@ -97,6 +97,44 @@ def tier1_full_proof(k: int, label: str = "action") -> bool:
         return False
 
 
+def tier1b_batched(k: int, B: int = 8) -> bool:
+    """Batched compliance throughput: B proofs proven in ONE lockstep device
+    batch (create_proofs_batch) — the TPU-native play (SURVEY §2.5: the
+    reference proves serially, shielded_ptx.rs:98-134). Headline metric:
+    batched proofs/sec vs the 0.274/s reference baseline."""
+    try:
+        import random
+
+        from taiga_tpu.circuits.compliance import ComplianceCircuit
+        from taiga_tpu.core.compliance import ComplianceInfo
+        from taiga_tpu.core.proving import get_proving_key, set_params_size
+        from taiga_tpu.plonk.prover import create_proofs_batch
+        from taiga_tpu.plonk.verifier import BatchVerifier
+
+        set_params_size(compliance=k, rl=k)
+        rng = random.Random(2)
+        built = [ComplianceInfo.random(rng).build() for _ in range(B)]
+        circuits = [c for _, c in built]
+        insts = [i.to_instance() for i, _ in built]
+        pk = get_proving_key(ComplianceCircuit, k)
+        t0 = time.time()
+        proofs = create_proofs_batch(pk, circuits, insts)
+        _log(f"tier1b warmup batch (B={B}): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        proofs = create_proofs_batch(pk, circuits, insts)
+        dt = (time.time() - t0) / B
+        bv = BatchVerifier()
+        for inst, proof in zip(insts, proofs):
+            bv.add(pk.vk, inst, proof)
+        assert bv.finalize(), "batched proofs failed verification"
+        _emit("action_batched_proofs_per_sec", 1.0 / dt, "proofs/s",
+              (1.0 / dt) / BASELINE_PROVES_PER_SEC)
+        return True
+    except Exception as e:
+        _log(f"tier1b failed: {type(e).__name__}: {e}")
+        return False
+
+
 def tier2_kernel_composite() -> bool:
     """Prover-core composite throughput, normalized to per-proof work.
 
@@ -189,6 +227,9 @@ def main():
     if tier == "3":
         tier3_poseidon()
         return
+    if tier == "1b":
+        tier1b_batched(k)
+        return
     # cheapest first: a later timeout can't erase an already-printed line
     t0 = time.time()
     tier2_kernel_composite() or tier3_poseidon()
@@ -197,6 +238,8 @@ def main():
     if os.environ.get("TAIGA_BENCH_K15") == "1" and k != 15:
         _log("running apples-to-apples k=15 tier1")
         tier1_full_proof(15, label="action_k15")
+    _log("attempting tier1b (batched throughput)")
+    tier1b_batched(k)
 
 
 if __name__ == "__main__":

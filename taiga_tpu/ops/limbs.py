@@ -45,6 +45,39 @@ def ints_to_limbs(vs) -> np.ndarray:
     return np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(len(vs), NLIMBS)
 
 
+# --- packed transfers --------------------------------------------------------
+# A (..., 16)-u32 limb tensor carries 16-bit values, so host<->device copies
+# waste half their bytes. Packing two limbs per u32 halves every transfer —
+# which matters when the device sits behind a network tunnel (axon) where the
+# 23 MB coefficient pull alone cost ~2.2 s/proof. The packed (..., 8)-u32
+# little-endian byte stream IS the canonical 32-byte field encoding, so the
+# host side converts with a pure numpy view (no per-element work).
+
+
+def pack_limbs(a):
+    """Device (..., 16) u32 16-bit limbs -> (..., 8) u32 packed."""
+    return a[..., 0::2] | (a[..., 1::2] << jnp.uint32(W))
+
+
+def unpack_limbs(p):
+    """Device (..., 8) u32 packed -> (..., 16) u32 16-bit limbs."""
+    lo = p & jnp.uint32(MASK)
+    hi = p >> jnp.uint32(W)
+    return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (NLIMBS,))
+
+
+def ints_to_packed(vs) -> np.ndarray:
+    """[N ints] -> (N, 8) u32 packed (raw 32-byte LE view; no widening)."""
+    buf = b"".join(v.to_bytes(32, "little") for v in vs)
+    return np.frombuffer(buf, dtype="<u4").reshape(len(vs), NLIMBS // 2).copy()
+
+
+def packed_to_u64(p: np.ndarray) -> np.ndarray:
+    """Host (..., 8) u32 packed -> (..., 4) u64 (pure byte view)."""
+    p = np.ascontiguousarray(p, dtype="<u4")
+    return p.view("<u8").reshape(p.shape[:-1] + (4,))
+
+
 def limbs_to_ints(a) -> list[int]:
     a = np.asarray(jax.device_get(a))
     flat = a.reshape(-1, NLIMBS).astype("<u2")

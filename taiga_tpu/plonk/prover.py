@@ -637,6 +637,11 @@ def _from_mont_jit(a):
 
 
 @jax.jit
+def _pack_jit(a):
+    return L.pack_limbs(a)
+
+
+@jax.jit
 def _axpy_jit(acc, v, w_m):
     """acc + w*v (Montgomery), fully jitted — eager limb ops retrace scans."""
     return L.add(acc, L.mont_mul(v, w_m, L.FP), L.FP)
@@ -658,19 +663,35 @@ def _to_mont_jit(a):
     return L.to_mont(a, L.FP)
 
 
+@jax.jit
+def _unpack_to_mont_jit(packed):
+    return L.to_mont(L.unpack_limbs(packed), L.FP)
+
+
 def _cols_to_mont_dev(cols: list[list[int]]):
-    """Host int columns -> (C, n, 16) device Montgomery limbs."""
+    """Host int columns -> (C, n, 16) device Montgomery limbs. The upload is
+    PACKED (2 limbs/u32): half the bytes over the device link."""
     flat = [v for col in cols for v in col]
-    plain = L.ints_to_limbs(flat).reshape(len(cols), -1, L.NLIMBS)
-    return _to_mont_jit(jnp.asarray(plain))
+    packed = L.ints_to_packed(flat).reshape(len(cols), -1, L.NLIMBS // 2)
+    return _unpack_to_mont_jit(jnp.asarray(packed))
+
+
+@jax.jit
+def _from_mont_pack_jit(a):
+    return L.pack_limbs(L.from_mont(a, L.FP))
 
 
 def _mont_rows_to_ints(rows_mont) -> list[list[int]]:
-    """(C, n, 16) device Montgomery -> host int columns."""
-    plain = np.asarray(jax.device_get(_from_mont_jit(rows_mont)))
-    return [
-        L.limbs_to_ints(plain[c]) for c in range(plain.shape[0])
+    """(C, n, 16) device Montgomery -> host int columns (packed transfer)."""
+    packed = np.asarray(jax.device_get(_from_mont_pack_jit(rows_mont)))
+    flat = np.ascontiguousarray(packed).reshape(-1, L.NLIMBS // 2)
+    buf = flat.astype("<u4").tobytes()
+    n = rows_mont.shape[1]
+    vals = [
+        int.from_bytes(buf[32 * i : 32 * i + 32], "little")
+        for i in range(flat.shape[0])
     ]
+    return [vals[c * n : (c + 1) * n] for c in range(rows_mont.shape[0])]
 
 
 def _permute_lookup_pair(a_vals: list[int], s_vals: list[int], u: int):
@@ -884,9 +905,12 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     evals_host = {}
     coeffs_host = None
     if H.available():
-        # device Montgomery 16-limb -> host Montgomery u64 (pure bit view);
+        # device Montgomery 16-limb -> host Montgomery u64, PACKED transfer
+        # (2 limbs/u32: the unpacked pull was 23 MB/proof over the tunnel);
         # also reused by the native multiopen below
-        coeffs_host = H.u16_to_u64(np.asarray(jax.device_get(all_coeffs)))
+        coeffs_host = L.packed_to_u64(
+            np.asarray(jax.device_get(_pack_jit(all_coeffs)))
+        )
         pts = H.to_mont(_NFP, H.ints_to_u64([points[rot] for rot in rotset]))
         ev = H.from_mont(_NFP, H.poly_eval_many(_NFP, coeffs_host, pts))
         ev_ints = H.u64_to_ints(ev)
@@ -995,13 +1019,13 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     # --- advice commitments (one batched MSM over B*C columns) --------
     ncols = cs.num_advice
     plain = np.stack([
-        L.ints_to_limbs([v for col in adv for v in col]).reshape(ncols, n, L.NLIMBS)
+        L.ints_to_packed([v for col in adv for v in col]).reshape(ncols, n, L.NLIMBS // 2)
         for adv in advices
     ])
-    advice_vb = shard(_to_mont_jit(jnp.asarray(plain)))  # (B, C, n, 16)
+    advice_vb = shard(_unpack_to_mont_jit(jnp.asarray(plain)))  # (B, C, n, 16)
     inst_cols = [inst + [0] * (n - len(inst)) for inst in insts]
-    inst_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
-        L.ints_to_limbs(col).reshape(1, n, L.NLIMBS) for col in inst_cols
+    inst_vb = shard(_unpack_to_mont_jit(jnp.asarray(np.stack([
+        L.ints_to_packed(col).reshape(1, n, L.NLIMBS // 2) for col in inst_cols
     ]))))
     advice_cb = pipe.values_to_coeffs(advice_vb)
     advice_blinds = [[_rand() for _ in range(ncols)] for _ in range(B)]
@@ -1024,25 +1048,33 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     if lookups:
         thetas = [tr.challenge(b"theta").v for tr in trs]
         lk_a_vb, lk_s_vb = pipe.lookup_as_values_batch(advice_vb, inst_vb, thetas)
-        a_plain = np.asarray(jax.device_get(_from_mont_jit(lk_a_vb)))
-        s_plain = np.asarray(jax.device_get(_from_mont_jit(lk_s_vb)))
+        a_plain = L.packed_to_u64(
+            np.asarray(jax.device_get(_from_mont_pack_jit(lk_a_vb))))
+        s_plain = L.packed_to_u64(
+            np.asarray(jax.device_get(_from_mont_pack_jit(lk_s_vb))))
+
+        def _u64_rows_to_ints(rows):
+            buf = np.ascontiguousarray(rows, dtype="<u8").tobytes()
+            return [int.from_bytes(buf[32 * i : 32 * i + 32], "little")
+                    for i in range(rows.shape[0])]
+
         ap_all, sp_all = [], []
         for bi in range(B):
             ap_cols, sp_cols = [], []
             for li in range(nlk):
-                a_col = L.limbs_to_ints(a_plain[bi, li])
-                s_col = L.limbs_to_ints(s_plain[bi, li])
+                a_col = _u64_rows_to_ints(a_plain[bi, li])
+                s_col = _u64_rows_to_ints(s_plain[bi, li])
                 ap, sp = _permute_lookup_pair(a_col, s_col, u)
                 ap_cols.append(ap + [_rand() for _ in range(n - u)])
                 sp_cols.append(sp + [_rand() for _ in range(n - u)])
             ap_all.append(ap_cols)
             sp_all.append(sp_cols)
-        lk_ap_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
-            L.ints_to_limbs([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS)
+        lk_ap_vb = shard(_unpack_to_mont_jit(jnp.asarray(np.stack([
+            L.ints_to_packed([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS // 2)
             for cols in ap_all
         ]))))
-        lk_sp_vb = shard(_to_mont_jit(jnp.asarray(np.stack([
-            L.ints_to_limbs([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS)
+        lk_sp_vb = shard(_unpack_to_mont_jit(jnp.asarray(np.stack([
+            L.ints_to_packed([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS // 2)
             for cols in sp_all
         ]))))
         lk_ap_cb = pipe.values_to_coeffs(lk_ap_vb)
@@ -1142,15 +1174,15 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     assert H.available(), "batched prover requires the native engine for multiopen"
     kind_order = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
     queries = pipe.queries
-    fixed_c_h = H.u16_to_u64(np.asarray(jax.device_get(st["fixed_c"])))
-    sigma_c_h = H.u16_to_u64(np.asarray(jax.device_get(st["sigma_c"])))
-    advice_c_h = H.u16_to_u64(np.asarray(jax.device_get(advice_cb)))
-    z_c_h = H.u16_to_u64(np.asarray(jax.device_get(z_cb)))
-    h_c_h = H.u16_to_u64(np.asarray(jax.device_get(h_pieces_b)))
+    fixed_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["fixed_c"]))))
+    sigma_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["sigma_c"]))))
+    advice_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(advice_cb))))
+    z_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(z_cb))))
+    h_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(h_pieces_b))))
     if lookups:
-        ap_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_ap_cb)))
-        sp_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_sp_cb)))
-        lz_c_h = H.u16_to_u64(np.asarray(jax.device_get(lk_z_cb)))
+        ap_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_ap_cb))))
+        sp_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_sp_cb))))
+        lz_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_z_cb))))
     from ..native import FIELD_FP as _NFP
 
     def finish_one(bi):
