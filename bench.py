@@ -7,9 +7,9 @@ CPU (taiga_halo2/benches/Perfromance.md; BASELINE.md) => 0.274 proofs/sec.
 
 Tiers (all attempted, in order):
   3. batched Poseidon permutation throughput (sanity floor, ~1 min);
-  2. prover core-kernel composite (Poseidon witness hash + iNTT + 2^15-point
+  2. prover core-kernel composite (Poseidon witness hash + iNTT + 2^k-point
      Pippenger MSM) scaled to the per-proof op count, device_get-synced;
-  1. full compliance prove (+verify) at the production domain size (k = 15,
+  1. full compliance prove (+verify) at the production domain size (k = 13,
      TAIGA_BENCH_K to override) — wall-clock timing is inherently synced
      (the transcript pulls every commitment back to host). Stage timings go
      to stderr (TAIGA_PROFILE) so a timeout is diagnosable from the artifact.
@@ -135,13 +135,14 @@ def tier1b_batched(k: int, B: int = 8) -> bool:
         return False
 
 
-def tier2_kernel_composite() -> bool:
+def tier2_kernel_composite(k: int = 13) -> bool:
     """Prover-core composite throughput, normalized to per-proof work.
 
-    One k=15 proof ~ 25 column commitments (iNTT + 2^15-point MSM) plus
-    witness hashing (~2^12 Poseidon permutations). We time the composite
-    unit (1 iNTT + 1 MSM at 2^15 + 2^12 hashes), device_get-synced, and
-    scale by 25 units/proof."""
+    One production proof (compliance, k=13 since the spread-gadget rewrite)
+    ~ 25 column commitments (iNTT + 2^k-point MSM) plus witness hashing
+    (~2^12 Poseidon permutations). We time the composite unit (1 iNTT +
+    1 MSM at 2^k + 2^12 hashes), device_get-synced, and scale by
+    25 units/proof."""
     try:
         import numpy as np
         import jax
@@ -151,7 +152,6 @@ def tier2_kernel_composite() -> bool:
         from taiga_tpu.ops import ec, limbs as L, msm as msm_mod, ntt
         from taiga_tpu.ops import poseidon_kernel as pk
 
-        k = 15
         n = 1 << k
         rng = np.random.default_rng(5)
         base_pts = [VestaPoint.generator() * (i + 1) for i in range(256)]
@@ -222,7 +222,7 @@ def main():
         tier1_full_proof(k)
         return
     if tier == "2":
-        tier2_kernel_composite() or tier3_poseidon()
+        tier2_kernel_composite(k) or tier3_poseidon()
         return
     if tier == "3":
         tier3_poseidon()
@@ -232,7 +232,7 @@ def main():
         return
     # cheapest first: a later timeout can't erase an already-printed line
     t0 = time.time()
-    tier2_kernel_composite() or tier3_poseidon()
+    tier2_kernel_composite(k) or tier3_poseidon()
     _log(f"tier2/3 done at {time.time()-t0:.0f}s; attempting tier1 (k={k})")
     tier1_full_proof(k)
     if os.environ.get("TAIGA_BENCH_K15") == "1" and k != 15:

@@ -442,3 +442,121 @@ def msm_host(points, scalars):
     for p, s in zip(points, scalars):
         acc = acc + p * s
     return acc
+
+
+# ---------------------------------------------------------------------------
+# fixed-base MSM (shifted-table): the SRS commitment hot path
+# ---------------------------------------------------------------------------
+#
+# The prover's dominant MSMs all share ONE fixed point set (the SRS), so the
+# window structure can be baked into data: precompute the shifted tables
+# T[w][i] = [2^(c*w)] G_i once per domain, and MSM(s, G) collapses to a
+# SINGLE bucket accumulation over W*N lanes — sum_{w,i} digit_{w,i} * T[w][i]
+# — instead of W sequential window passes + a Horner doubling chain. Same
+# total lane-work, but ~36 wide fused-kernel dispatches instead of ~990
+# narrow ones: at k=13 a window pass is only 8192 lanes, far below what
+# saturates the VPU, while the flattened form runs 2^18+-lane rounds.
+# (halo2's CPU Pippenger cannot play this trick profitably — on host cores
+# the extra table memory traffic beats the saved adds; on TPU the tables
+# live in HBM next to the compute.)
+
+
+@partial(jax.jit, static_argnames=("field", "c"))
+def _make_fixed_table_dev(px, py, pz, field: str, c: int):
+    """(N, 16) Jacobian Montgomery SRS -> (16, W*N) limb-major projective
+    shifted tables, window-major lanes (lane w*N+i = [2^(c*w)] G_i)."""
+    spec = L.FP if field == "fp" else L.FQ
+    n = px.shape[0]
+    z2 = L.mont_mul(pz, pz, spec)
+    x = L.mont_mul(px, pz, spec).T
+    y = py.T
+    z = L.mont_mul(z2, pz, spec).T
+    finite = ~L.is_zero(pz)
+    x, y, z = _mask_identity(x, y, z, finite, field)
+    W = 256 // c
+
+    def win_step(carry, _):
+        x, y, z = carry
+        out = (x, y, z)
+        for _ in range(c):  # [2^c] multiples: c complete doublings
+            x, y, z = FK.ec_add_proj_lm(x, y, z, x, y, z, field=field)
+        return (x, y, z), out
+
+    _, tables = jax.lax.scan(win_step, (x, y, z), None, length=W)
+    tx, ty, tz = tables  # (W, 16, N) each
+    return (
+        jnp.moveaxis(tx, 0, 1).reshape(16, W * n),
+        jnp.moveaxis(ty, 0, 1).reshape(16, W * n),
+        jnp.moveaxis(tz, 0, 1).reshape(16, W * n),
+    )
+
+
+_fixed_tables: dict = {}
+
+
+def fixed_base_table(px, py, pz, key, field: str = "fq", c: int = WINDOW_BITS):
+    """Build (or fetch) the shifted table for a fixed point set. `key` is a
+    hashable cache key (e.g. ("srs", k)); the table stays on device."""
+    entry = _fixed_tables.get((key, field, c))
+    if entry is None:
+        entry = _make_fixed_table_dev(px, py, pz, field, c)
+        _fixed_tables[(key, field, c)] = entry
+    return entry
+
+
+@partial(jax.jit, static_argnames=("field", "c"))
+def _msm_fixed_dev(tx, ty, tz, scalars, field: str, c: int):
+    ncols, n = scalars.shape[0], scalars.shape[1]
+    W = 256 // c
+    nbuckets = 1 << c
+    total = ncols * W * n
+    compact = 1 << max(1, (total // _CHUNK + ncols * nbuckets - 1).bit_length())
+
+    digits = jax.vmap(lambda s: _digits_all(s, c))(scalars)  # (C, W, n)
+    col_off = jnp.arange(ncols, dtype=jnp.int32)[:, None] * nbuckets
+    comp = (digits.reshape(ncols, W * n) + col_off).reshape(total)
+    order = jnp.argsort(comp)
+    d = jnp.take(comp, order)
+    pidx = order % (W * n)  # table lanes repeat per column
+    pts = (
+        jnp.take(tx, pidx, axis=1),
+        jnp.take(ty, pidx, axis=1),
+        jnp.take(tz, pidx, axis=1),
+    )
+    X, Y, Z = _window_reduce_multi(pts, d, field, c, ncols, W * n, compact)
+    # (3, 16, ncols) projective -> (ncols, 3, 16) Jacobian
+    spec = L.FP if field == "fp" else L.FQ
+    xz = L.mont_mul(X.T, Z.T, spec)
+    yz2 = L.mont_mul(Y.T, L.mont_mul(Z.T, Z.T, spec), spec)
+    return jnp.stack([xz, yz2, Z.T], axis=1)
+
+
+def msm_fixed_multi(table, scalars, field: str = "fq", c: int = WINDOW_BITS,
+                    col_chunk: int = 8):
+    """Multi-column fixed-base MSM over a shifted table from
+    fixed_base_table(). scalars: (C, N, 16) plain limbs. Returns
+    (C, 3, 16) Jacobian Montgomery points.
+
+    Columns are processed in chunks of `col_chunk` to bound the gathered
+    working set (a chunk gathers col_chunk * W * N point lanes ~ 200 MB of
+    HBM at k=13/c=8/chunk=8)."""
+    tx, ty, tz = table
+    C = scalars.shape[0]
+    # full chunks of col_chunk columns; the remainder is padded up to the
+    # next power of two (zero scalar columns reduce to identity), so the
+    # compiled-shape set is tiny ({1,2,4,8} columns) and padding waste is
+    # bounded by one sub-pow2 chunk
+    outs = []
+    lo = 0
+    while lo < C:
+        take = min(col_chunk, C - lo)
+        size = take if take == col_chunk else 1 << (take - 1).bit_length()
+        chunk = scalars[lo : lo + take]
+        if size != take:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((size - take,) + chunk.shape[1:], chunk.dtype)],
+                axis=0,
+            )
+        outs.append(_msm_fixed_dev(tx, ty, tz, chunk, field, c)[:take])
+        lo += take
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

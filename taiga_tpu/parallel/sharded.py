@@ -55,6 +55,81 @@ def sharded_msm(mesh: Mesh, px, py, pz, scalar_limbs, field: str = "fq", c: int 
     return fn(px, py, pz, scalar_limbs)
 
 
+def _local_msm_bitserial(pxs, pys, pzs, sls, spec, bits: int = 255):
+    """Per-device multi-column MSM as a shared double chain: one base
+    doubling ladder serves every column (their bit masks differ). O(bits)
+    complete-add rounds over (C, n_local) lanes — far fewer ops/lane than
+    Pippenger wants, but a tiny, fast-compiling program: the XLA-CPU
+    compile of the full bucket kernel takes tens of minutes, which makes
+    it unusable on the virtual test mesh. Real meshes (TPU) use the
+    Pippenger strategy instead."""
+    C, n_local = sls.shape[0], sls.shape[1]
+    base = (pxs, pys, pzs)  # (n, 16) each
+    acc = tuple(jnp.zeros((C, n_local, L.NLIMBS), jnp.uint32) for _ in range(3))
+
+    def body(i, carry):
+        acc, base = carry
+        limb = jax.lax.dynamic_slice_in_dim(sls, i // 16, 1, axis=2)[..., 0]
+        bit = (limb >> (i % 16)) & 1  # (C, n_local)
+        added = ec.ec_add(acc, tuple(jnp.broadcast_to(b, a.shape)
+                                     for b, a in zip(base, acc)), spec)
+        acc = ec.ec_select(bit > 0, added, acc)
+        base = ec.ec_double(base, spec)
+        return acc, base
+
+    acc, _ = jax.lax.fori_loop(0, bits, body, (acc, base))
+    # lane tree-reduction per column (n_local is a power of two)
+    while acc[0].shape[1] > 1:
+        h = acc[0].shape[1] // 2
+        acc = ec.ec_add(tuple(a[:, :h] for a in acc),
+                        tuple(a[:, h:] for a in acc), spec)
+    return jnp.stack([a[:, 0] for a in acc], axis=1)  # (C, 3, 16)
+
+
+def sharded_msm_multi(mesh: Mesh, px, py, pz, scalars, field: str = "fq",
+                      c: int = 8, strategy: str | None = None):
+    """Multi-column MSM with the POINT axis sharded over the mesh: every
+    device reduces its local point/scalar slice (all columns at once), the
+    per-device partial sums — (C, 3, 16) limb tensors, a few KB — are
+    all-gathered over ICI and folded with complete Jacobian adds. This is
+    the model-parallel counterpart of the batch-axis sharding in
+    create_proofs_batch: it splits ONE commitment's work across chips
+    (halo2 runs its Pippenger on host threads instead; SURVEY §5.8).
+
+    px,py,pz: (N, 16) Jacobian Montgomery; scalars: (C, N, 16) plain limbs,
+    N sharded. Returns (C, 3, 16) Jacobian points, replicated.
+
+    strategy: "pippenger" (default on TPU — the full sorted-bucket kernel)
+    or "bitserial" (default elsewhere — shared double chain, chosen for
+    compile time on the virtual CPU mesh, not throughput)."""
+    spec = L.FP if field == "fp" else L.FQ
+    if strategy is None:
+        strategy = ("pippenger" if mesh.devices.flat[0].platform == "tpu"
+                    else "bitserial")
+
+    def local(pxs, pys, pzs, sls):
+        if strategy == "pippenger":
+            part = msm_mod._msm_multi_device(pxs, pys, pzs, sls,
+                                             field=field, c=c)
+        else:
+            part = _local_msm_bitserial(pxs, pys, pzs, sls, spec)
+        parts = jax.lax.all_gather(part, AXIS)  # (n_dev, C, 3, 16)
+        acc = (parts[0, :, 0], parts[0, :, 1], parts[0, :, 2])  # (C, 16) each
+        for i in range(1, parts.shape[0]):
+            q = (parts[i, :, 0], parts[i, :, 1], parts[i, :, 2])
+            acc = ec.ec_add(acc, q, spec)
+        return jnp.stack(acc, axis=1)  # (C, 3, 16)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Pspec(AXIS), Pspec(AXIS), Pspec(AXIS), Pspec(None, AXIS)),
+        out_specs=Pspec(),
+        check_vma=False,  # replicated by construction (post-gather fold)
+    )
+    return fn(px, py, pz, scalars)
+
+
 def batch_hash_step(mesh: Mesh, messages):
     """Data-parallel ConstantLength<8> hashing over a sharded proof batch:
     messages (B, 8, 16) Montgomery, B sharded across devices."""

@@ -158,6 +158,8 @@ class ProverPipeline:
         self._z_jit = None
         self._lookup_as_jit = None
         self._lookup_z_jit = None
+        # one-entry cache for the mesh-sharded SRS (commit_coeff_rows mesh=)
+        self._srs_sharded = (None, None)
 
     # --- static device tables -----------------------------------------
     def static_tables(self):
@@ -204,7 +206,8 @@ class ProverPipeline:
         return ntt.coset_ntt(jnp.pad(coeffs_mont, pad), ke, "fp")
 
     # --- commitments ---------------------------------------------------
-    def commit_coeff_rows(self, coeffs_mont, blinds: list[int]) -> list[VestaPoint]:
+    def commit_coeff_rows(self, coeffs_mont, blinds: list[int],
+                          mesh=None) -> list[VestaPoint]:
         """Commit each row of (C, n, 16) Montgomery coefficients — ONE
         batched MSM over the shared SRS bases for all C columns. When the
         arrays live on CPU devices (tests, the multi-chip dryrun's virtual
@@ -212,6 +215,33 @@ class ProverPipeline:
         the XLA-CPU msm_multi compile is pathologically slow and the C++
         engine outruns it anyway."""
         from ..native import hostops as H
+
+        if mesh is not None:
+            # model-parallel commit: ONE MSM's points sharded over the mesh,
+            # per-device bucket partials all-gathered and folded (ICI) —
+            # SURVEY §5.8's psum-bucket-reduction MSM inside the prover.
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            from ..parallel import sharded
+
+            if self._srs_sharded[0] is not mesh:
+                gx, gy, gz = srs_device(self.k)
+                sh = NamedSharding(mesh, PS(sharded.AXIS))
+                self._srs_sharded = (mesh, tuple(
+                    jax.device_put(jnp.asarray(a), sh) for a in (gx, gy, gz)
+                ))
+            gx, gy, gz = self._srs_sharded[1]
+            plain = jax.device_put(
+                _from_mont_jit(coeffs_mont),
+                NamedSharding(mesh, PS(None, sharded.AXIS)),
+            )
+            outs = sharded.sharded_msm_multi(mesh, gx, gy, gz, plain,
+                                             field="fq")
+            pts = ec.points_from_device(
+                (outs[:, 0], outs[:, 1], outs[:, 2]), VestaPoint
+            )
+            w = get_params(self.k).w
+            return [pt + w * b if b else pt for pt, b in zip(pts, blinds)]
 
         on_cpu = all(d.platform == "cpu" for d in coeffs_mont.devices())
         if on_cpu and H.available():
@@ -233,7 +263,15 @@ class ProverPipeline:
         g_dev = tuple(map(jnp.asarray, srs_device(self.k)))
         plain = _from_mont_jit(coeffs_mont)
         ncols = coeffs_mont.shape[0]
-        if ncols == 1:
+        if (jax.default_backend() == "tpu"
+                and not os.environ.get("TAIGA_NO_FIXED_MSM")):
+            # fixed-base path: the SRS is static, so the Pippenger windows
+            # are baked into a precomputed shifted table and every commit
+            # is ONE wide bucket reduction (ops/msm.py msm_fixed_multi)
+            table = msm_mod.fixed_base_table(*g_dev, key=("srs", self.k),
+                                             field="fq")
+            outs = msm_mod.msm_fixed_multi(table, plain, field="fq")
+        elif ncols == 1:
             out = msm_mod.msm(g_dev[0], g_dev[1], g_dev[2], plain[0], field="fq")
             outs = out[None]
         else:
@@ -965,6 +1003,20 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     return tr.bytes()
 
 
+
+def _pack_async(arr):
+    """Start packing + host transfer of a coefficient stack NOW so the pull
+    overlaps the remaining proof stages (the tunnel to the TPU is the
+    steady-state bottleneck of the batched prover; see create_proofs_batch's
+    evals section, which consumes these)."""
+    packed = _pack_jit(arr)
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass  # transfer overlap is an optimization only
+    return packed
+
+
 def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[bytes]:
     """Prove a BATCH of instances of one circuit class in lockstep: every
     device stage runs once with a leading batch axis (B proofs' columns in
@@ -1028,6 +1080,7 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
         L.ints_to_packed(col).reshape(1, n, L.NLIMBS // 2) for col in inst_cols
     ]))))
     advice_cb = pipe.values_to_coeffs(advice_vb)
+    advice_pk_h = _pack_async(advice_cb)
     advice_blinds = [[_rand() for _ in range(ncols)] for _ in range(B)]
     pts = pipe.commit_coeff_rows(
         advice_cb.reshape(B * ncols, n, L.NLIMBS),
@@ -1079,6 +1132,8 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
         ]))))
         lk_ap_cb = pipe.values_to_coeffs(lk_ap_vb)
         lk_sp_cb = pipe.values_to_coeffs(lk_sp_vb)
+        ap_pk_h = _pack_async(lk_ap_cb)
+        sp_pk_h = _pack_async(lk_sp_cb)
         lk_ap_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
         lk_sp_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
         ap_pts = pipe.commit_coeff_rows(
@@ -1113,6 +1168,7 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     z_vb = pipe.z_values_batch(cols_vb, betas, gammas)
     st_t.mark("perm grand products (batch)")
     z_cb = pipe.values_to_coeffs(z_vb)
+    z_pk_h = _pack_async(z_cb)
     nz = z_vb.shape[1]
     z_blinds = [[_rand() for _ in range(nz)] for _ in range(B)]
     zpts = pipe.commit_coeff_rows(
@@ -1126,6 +1182,7 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
         lk_z_vb = pipe.lookup_z_values_batch(
             lk_a_vb, lk_s_vb, lk_ap_vb, lk_sp_vb, betas, gammas)
         lk_z_cb = pipe.values_to_coeffs(lk_z_vb)
+        lz_pk_h = _pack_async(lk_z_cb)
         lk_z_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
         lzpts = pipe.commit_coeff_rows(
             lk_z_cb.reshape(B * nlk, n, L.NLIMBS),
@@ -1156,6 +1213,7 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
     st_t.mark("quotient eval (batch)")
     h_pieces_b = h_all_b[:, : NUM_H_PIECES * n].reshape(B, NUM_H_PIECES, n, L.NLIMBS)
+    h_pk_h = _pack_async(h_pieces_b)
     h_blinds = [[_rand() for _ in range(NUM_H_PIECES)] for _ in range(B)]
     hpts = pipe.commit_coeff_rows(
         h_pieces_b.reshape(B * NUM_H_PIECES, n, L.NLIMBS),
@@ -1176,13 +1234,13 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     queries = pipe.queries
     fixed_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["fixed_c"]))))
     sigma_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["sigma_c"]))))
-    advice_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(advice_cb))))
-    z_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(z_cb))))
-    h_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(h_pieces_b))))
+    advice_c_h = L.packed_to_u64(np.asarray(jax.device_get(advice_pk_h)))
+    z_c_h = L.packed_to_u64(np.asarray(jax.device_get(z_pk_h)))
+    h_c_h = L.packed_to_u64(np.asarray(jax.device_get(h_pk_h)))
     if lookups:
-        ap_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_ap_cb))))
-        sp_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_sp_cb))))
-        lz_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(lk_z_cb))))
+        ap_c_h = L.packed_to_u64(np.asarray(jax.device_get(ap_pk_h)))
+        sp_c_h = L.packed_to_u64(np.asarray(jax.device_get(sp_pk_h)))
+        lz_c_h = L.packed_to_u64(np.asarray(jax.device_get(lz_pk_h)))
     from ..native import FIELD_FP as _NFP
 
     def finish_one(bi):

@@ -36,6 +36,14 @@ def test_msm_production_shapes():
     _run("msm")
 
 
+def test_fixed_base_msm_production_shapes():
+    _run("fixed_msm")
+
+
+def test_sharded_commit_msm():
+    _run("sharded_commit")
+
+
 def test_cumprod_and_inversion():
     _run("cumprod")
 

@@ -122,6 +122,71 @@ def check_msm():
         report(f"msm k={k} ncols={ncols}", ok, time.time() - t0, bad)
 
 
+def check_fixed_msm():
+    """Fixed-base shifted-table MSM (the SRS commit path, ops/msm.py
+    msm_fixed_multi) vs the native host Pippenger at production shapes."""
+    from taiga_tpu.crypto.curves import VestaPoint
+    from taiga_tpu.native import FIELD_FQ
+    from taiga_tpu.ops import ec, msm as msm_mod
+    from taiga_tpu.plonk.msm_claim import srs_host_rows
+    from taiga_tpu.plonk.srs import srs_device
+
+    for k, ncols in ((12, 5), (13, 12), (13, 30), (15, 12)):
+        n = 1 << k
+        rows = srs_host_rows(k)
+        g_dev = tuple(map(jnp.asarray, srs_device(k)))
+        scal = rand_field_u64((ncols, n))
+        t0 = time.time()
+        table = msm_mod.fixed_base_table(*g_dev, key=("srs", k), field="fq")
+        sc_dev = jnp.asarray(H.u64_to_u16(scal))
+        outs = np.asarray(jax.device_get(
+            msm_mod.msm_fixed_multi(table, sc_dev, field="fq")
+        ))
+        pts = ec.points_from_device(
+            (jnp.asarray(outs[:, 0]), jnp.asarray(outs[:, 1]), jnp.asarray(outs[:, 2])),
+            VestaPoint,
+        )
+        ok = True
+        bad = ""
+        for c in range(ncols):
+            x, y, inf = H.msm(FIELD_FQ, rows, scal[c])
+            want = VestaPoint.identity() if inf else VestaPoint.from_xy(x, y)
+            if pts[c] != want:
+                ok = False
+                bad = f"col {c} mismatch"
+                break
+        report(f"fixed_msm k={k} ncols={ncols}", ok, time.time() - t0, bad)
+
+
+def check_sharded_commit():
+    """commit_coeff_rows(mesh=...) — the model-parallel point-sharded
+    Pippenger (parallel/sharded.sharded_msm_multi) — vs the default path.
+    Runs on however many devices the backend exposes (one real chip here;
+    the code path — shard_map, all_gather, partial-sum fold — is identical
+    at any mesh size)."""
+    from taiga_tpu.circuits.compliance import ComplianceCircuit
+    from taiga_tpu.core.proving import get_proving_key, params_override
+    from taiga_tpu.parallel import sharded
+    from taiga_tpu.plonk.prover import get_pipeline
+
+    k = 13
+    n = 1 << k
+    with params_override(compliance=k):
+        pk = get_proving_key(ComplianceCircuit, k)
+    pipe = get_pipeline(pk)
+    mesh = sharded.make_mesh(len(jax.devices()))
+    vals = rand_field_u64((2, n))
+    coeffs = u64_to_dev(vals)
+    t0 = time.time()
+    pts_mesh = pipe.commit_coeff_rows(coeffs, [0, 0], mesh=mesh)
+    pts_ref = pipe.commit_coeff_rows(coeffs, [0, 0])
+    report(
+        f"sharded_commit k={k} mesh={len(mesh.devices.flat)}dev",
+        pts_mesh == pts_ref, time.time() - t0,
+        "" if pts_mesh == pts_ref else "mesh vs default mismatch",
+    )
+
+
 def check_cumprod():
     for n in (1 << 13, 1 << 15):
         a = rand_field_u64((n,))
@@ -342,6 +407,8 @@ def check_synthdiv():
 STAGES = {
     "ntt": check_ntt,
     "msm": check_msm,
+    "fixed_msm": check_fixed_msm,
+    "sharded_commit": check_sharded_commit,
     "cumprod": check_cumprod,
     "evals": check_evals,
     "ecadd": check_ecadd,
