@@ -102,22 +102,34 @@ def _reduce(a16, hi, n_col):
 
 
 def _mm(a, b, n_col, n0inv):
-    """Montgomery product of (16, B) canonical limb tensors."""
+    """Montgomery product of (16, B) canonical limb tensors.
+
+    CIOS with the inter-iteration row shift FOLDED into one 16-row
+    concatenate: the low halves of the limb products land on the
+    pre-shift rows, the high halves land directly on the post-shift rows
+    (offset j+1 before the shift IS offset j after), so each iteration is
+    2 vector multiplies, 4 adds and ONE shuffle — the previous form built
+    four 17-row concatenates per iteration and the copies dominated the
+    kernel's cycle count."""
     zero_row = jnp.zeros_like(a[0:1])
-    t = jnp.zeros((NLIMBS + 1,) + a.shape[1:], jnp.uint32)
+    t = jnp.zeros_like(a)  # (16, B) accumulator, offsets 0..15
     for i in range(NLIMBS):
         p = a[i] * b  # (16, B) u32 products
-        t = t + jnp.concatenate([p & MASK, zero_row], 0) \
-              + jnp.concatenate([zero_row, p >> W], 0)
-        m = ((t[0] & MASK) * n0inv) & MASK
+        plo = p & MASK
+        phi = p >> W
+        m = (((t[0] + plo[0]) & MASK) * n0inv) & MASK
         p2 = m * n_col
-        t = t + jnp.concatenate([p2 & MASK, zero_row], 0) \
-              + jnp.concatenate([zero_row, p2 >> W], 0)
-        carry = t[0] >> W
-        t = jnp.concatenate([(t[1] + carry)[None], t[2:], zero_row], 0)
+        p2lo = p2 & MASK
+        p2hi = p2 >> W
+        s = t + plo + p2lo  # row 0 low half is 0 by construction of m
+        carry0 = s[0] >> W
+        # drop row 0 (shift down), carry into the new row 0; the high
+        # halves were destined for pre-shift offsets 1..16 = post-shift
+        # rows 0..15, so they add in directly
+        t = jnp.concatenate([(s[1] + carry0)[None], s[2:], zero_row], 0) \
+            + phi + p2hi
     c16, carry = _carry16(t)
-    hi = c16[NLIMBS] + carry
-    return _reduce(c16[:NLIMBS], hi, n_col)
+    return _reduce(c16, carry, n_col)
 
 
 def _madd(a, b, n_col):

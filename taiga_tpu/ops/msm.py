@@ -174,6 +174,99 @@ def _window_reduce(pts_lm, d, field: str, c: int, n: int):
     return jnp.stack([v[:, 0] for v in acc])  # (3, 16) projective, limb rows
 
 
+_BLOCK = 128  # blocked-reduction tile (phase A of _blocked_partials)
+
+
+def _blocked_partials(x, y, z, dcomp, field: str, ncols: int, nbuckets: int,
+                      total: int):
+    """Work-efficient bucket partials for LARGE sorted windows.
+
+    The plain segmented Hillis-Steele costs rounds*total lane-adds (~6x
+    the points). When total >> ncols*nbuckets, almost every 128-lane block
+    lies inside ONE digit run, so:
+      A. tree-reduce every block unconditionally (total lane-adds, with
+         halving widths — boundary blocks produce garbage, fixed next);
+      B. gather only the MIXED blocks (<= runs <= ncols*nbuckets of them,
+         a static bound from sortedness) and Hillis-Steele within them —
+         per-(block, run) partials at the in-block run starts;
+      C. merge the uniform block sums with the mixed-run partials
+         (<= 2*ncols*nbuckets entries, also a static bound), re-sort the
+         ~total/128-entry list, and finish with one small segmented pass.
+    Returns (x, y, z, keys, length) sorted by key with each run's first
+    lane holding the full bucket sum — the contract the bucket-extraction
+    tail expects."""
+    nb = total // _BLOCK
+    # --- A: unconditional per-block tree (aligned ranges). One transpose
+    # puts the within-block axis OFF the minor (lane) dimension — strided
+    # lane slices would force a full relayout per round on TPU — then each
+    # halving round adds two CONTIGUOUS halves.
+    def tr(v):
+        return jnp.swapaxes(v.reshape(16, nb, _BLOCK), 1, 2).reshape(16, total)
+
+    ax, ay, az = tr(x), tr(y), tr(z)  # lane order: j * nb + block
+    h = _BLOCK
+    while h > 1:
+        h //= 2
+        sz = h * nb
+        ax, ay, az = FK.ec_add_proj_lm(
+            ax[:, :sz], ay[:, :sz], az[:, :sz],
+            ax[:, sz : 2 * sz], ay[:, sz : 2 * sz], az[:, sz : 2 * sz],
+            field=field)
+    bk_lo = dcomp[0::_BLOCK]
+    bk_hi = dcomp[_BLOCK - 1 :: _BLOCK]
+    mixed = bk_lo != bk_hi
+
+    # --- B: fix up the mixed blocks --------------------------------------
+    maxb = min(ncols * nbuckets, nb)
+    posb = jnp.nonzero(mixed, size=maxb, fill_value=nb)[0]
+    validb = posb < nb
+    posbc = jnp.clip(posb, 0, nb - 1)
+    gidx = (posbc[:, None] * _BLOCK + jnp.arange(_BLOCK)[None, :]).reshape(-1)
+    gx = jnp.take(x, gidx, axis=1)
+    gy = jnp.take(y, gidx, axis=1)
+    gz = jnp.take(z, gidx, axis=1)
+    gkey = jnp.take(dcomp, gidx)
+    glanes = maxb * _BLOCK
+    lane_valid = jnp.repeat(validb, _BLOCK)
+    gx, gy, gz = _mask_identity(gx, gy, gz, lane_valid, field)
+    # runs must not merge across gathered blocks: composite block-local key
+    blk = jnp.repeat(jnp.arange(maxb, dtype=dcomp.dtype), _BLOCK)
+    comp2 = blk * (ncols * nbuckets + 1) + gkey
+    gx, gy, gz = _seg_rounds(gx, gy, gz, comp2, glanes,
+                             _BLOCK.bit_length() - 1, field)
+    gi = jnp.arange(glanes)
+    prev = jnp.concatenate([comp2[:1] ^ 1, comp2[:-1]])
+    is_start = ((gi % _BLOCK == 0) | (comp2 != prev)) & lane_valid
+    # <= runs + mixed-blocks <= 2 * ncols * nbuckets in-block run starts
+    ecap = 2 * ncols * nbuckets
+    spos = jnp.nonzero(is_start, size=ecap, fill_value=glanes)[0]
+    svalid = spos < glanes
+    sposc = jnp.clip(spos, 0, glanes - 1)
+    sent = jnp.asarray(ncols * nbuckets, dcomp.dtype)
+    mkey = jnp.where(svalid, jnp.take(gkey, sposc), sent)
+    mx = jnp.take(gx, sposc, axis=1)
+    my = jnp.take(gy, sposc, axis=1)
+    mz = jnp.take(gz, sposc, axis=1)
+    mx, my, mz = _mask_identity(mx, my, mz, svalid, field)
+
+    # --- C: merge uniform block sums + mixed-run partials ----------------
+    ukey = jnp.where(mixed, sent, bk_lo)
+    ux, uy, uz = _mask_identity(ax, ay, az, ~mixed, field)
+    ekeys = jnp.concatenate([ukey, mkey])
+    ex = jnp.concatenate([ux, mx], axis=1)
+    ey = jnp.concatenate([uy, my], axis=1)
+    ez = jnp.concatenate([uz, mz], axis=1)
+    en = nb + ecap
+    order = jnp.argsort(ekeys)
+    ekeys = jnp.take(ekeys, order)
+    ex = jnp.take(ex, order, axis=1)
+    ey = jnp.take(ey, order, axis=1)
+    ez = jnp.take(ez, order, axis=1)
+    ex, ey, ez = _seg_rounds(ex, ey, ez, ekeys, en,
+                             max(1, (en - 1).bit_length()), field)
+    return ex, ey, ez, ekeys, en
+
+
 def _window_reduce_multi(pts_lm, dcomp, field: str, c: int, ncols: int, n: int,
                          compact: int):
     """Bucket-accumulate one window for NCOLS scalar columns sharing one
@@ -186,22 +279,26 @@ def _window_reduce_multi(pts_lm, dcomp, field: str, c: int, ncols: int, n: int,
     total = ncols * n
     x, y, z = _mask_identity(x, y, z, (dcomp & (nbuckets - 1)) != 0, field)
 
-    chunk_rounds = _CHUNK.bit_length() - 1
-    x, y, z = _seg_rounds(x, y, z, dcomp, total, chunk_rounds, field)
-    idx = jnp.arange(total)
-    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), dcomp[1:] != dcomp[:-1]])
-    start_idx = jnp.where(is_start, idx, -1)
-    seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
-    mask = ((idx - seg_start) % _CHUNK) == 0
-    pos = jnp.nonzero(mask, size=compact, fill_value=total)[0]
-    valid = pos < total
-    posc = jnp.clip(pos, 0, total - 1)
-    cd = jnp.where(valid, jnp.take(dcomp, posc), ncols * nbuckets)
-    x = jnp.take(x, posc, axis=1)
-    y = jnp.take(y, posc, axis=1)
-    z = jnp.take(z, posc, axis=1)
-    x, y, z = _mask_identity(x, y, z, valid, field)
-    x, y, z = _seg_rounds(x, y, z, cd, compact, compact.bit_length() - 1, field)
+    if total % _BLOCK == 0 and total // _BLOCK >= 4 * ncols * nbuckets:
+        x, y, z, cd, compact = _blocked_partials(
+            x, y, z, dcomp, field, ncols, nbuckets, total)
+    else:
+        chunk_rounds = _CHUNK.bit_length() - 1
+        x, y, z = _seg_rounds(x, y, z, dcomp, total, chunk_rounds, field)
+        idx = jnp.arange(total)
+        is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), dcomp[1:] != dcomp[:-1]])
+        start_idx = jnp.where(is_start, idx, -1)
+        seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+        mask = ((idx - seg_start) % _CHUNK) == 0
+        pos = jnp.nonzero(mask, size=compact, fill_value=total)[0]
+        valid = pos < total
+        posc = jnp.clip(pos, 0, total - 1)
+        cd = jnp.where(valid, jnp.take(dcomp, posc), ncols * nbuckets)
+        x = jnp.take(x, posc, axis=1)
+        y = jnp.take(y, posc, axis=1)
+        z = jnp.take(z, posc, axis=1)
+        x, y, z = _mask_identity(x, y, z, valid, field)
+        x, y, z = _seg_rounds(x, y, z, cd, compact, compact.bit_length() - 1, field)
 
     targets = jnp.arange(ncols * nbuckets, dtype=cd.dtype)
     pos = jnp.clip(jnp.searchsorted(cd, targets), 0, compact - 1)
