@@ -235,7 +235,7 @@ def main():
     tier2_kernel_composite(k) or tier3_poseidon()
     _log(f"tier2/3 done at {time.time()-t0:.0f}s; attempting tier1 (k={k})")
     tier1_full_proof(k)
-    if os.environ.get("TAIGA_BENCH_K15") == "1" and k != 15:
+    if os.environ.get("TAIGA_BENCH_K15", "1") == "1" and k != 15:
         _log("running apples-to-apples k=15 tier1")
         tier1_full_proof(15, label="action_k15")
     _log("attempting tier1b (batched throughput)")
