@@ -211,11 +211,58 @@ def tier3_poseidon() -> bool:
         return False
 
 
+def _with_budget(budget_s: int, label: str, fn, *args, **kwargs):
+    """Run fn under a SIGALRM budget: if it overruns, abandon it cleanly and
+    keep benching (a stuck tier must never erase later tiers' lines)."""
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(budget_s)
+    t0 = time.time()
+    try:
+        return fn(*args, **kwargs)
+    except _Timeout:
+        _log(f"{label} exceeded its {budget_s}s budget "
+             f"(ran {time.time() - t0:.0f}s) — skipped")
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def attest_tpu_kernel_tier(budget_s: int = 600):
+    """Run the on-chip kernel regression tier (tests_tpu/) and log a summary
+    so the artifact proves the net ran on the real device (VERDICT r3 #8)."""
+    # in-process (pytest.main) so the bench's existing device handle and
+    # compilation cache are shared — a subprocess would contend for the chip
+    def run():
+        import pytest
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rc = pytest.main([os.path.join(here, "tests_tpu"), "-q", "--tb=line",
+                          "-p", "no:cacheprovider"])
+        _log(f"TPU_KERNEL_TIER pytest rc={rc} (0 == all device-kernel "
+             f"regressions green on this chip)")
+        return rc == 0
+    try:
+        return run()
+    except Exception as e:
+        _log(f"TPU_KERNEL_TIER failed to run: {type(e).__name__}: {e}")
+        return False
+
+
 def main():
     # production domain (core/constants.py: compliance k=13); the reference
     # fixes k=15 (constant.rs:123-125) because its gadgets need ~25k rows —
-    # ours prove the same statements in ~6.2k. TAIGA_BENCH_K15=1 adds an
-    # apples-to-apples k=15 line after the production one.
+    # ours prove the same statements in ~6.2k. TAIGA_BENCH_K15=1 (default)
+    # adds an apples-to-apples k=15 line, budget-capped so it can never eat
+    # the batched-throughput headline (tier1b prints LAST).
     k = int(os.environ.get("TAIGA_BENCH_K", "13"))
     tier = os.environ.get("TAIGA_BENCH_TIER", "")
     if tier == "1":
@@ -236,9 +283,13 @@ def main():
     _log(f"tier2/3 done at {time.time()-t0:.0f}s; attempting tier1 (k={k})")
     tier1_full_proof(k)
     if os.environ.get("TAIGA_BENCH_K15", "1") == "1" and k != 15:
-        _log("running apples-to-apples k=15 tier1")
-        tier1_full_proof(15, label="action_k15")
-    _log("attempting tier1b (batched throughput)")
+        budget = int(os.environ.get("TAIGA_BENCH_K15_BUDGET", "900"))
+        _log(f"running apples-to-apples k=15 tier1 (budget {budget}s)")
+        _with_budget(budget, "k=15 tier", tier1_full_proof, 15,
+                     label="action_k15")
+    _log("attesting TPU kernel tier (tests_tpu/)")
+    _with_budget(700, "tests_tpu attestation", attest_tpu_kernel_tier)
+    _log("attempting tier1b (batched throughput) — headline")
     tier1b_batched(k)
 
 

@@ -252,3 +252,24 @@ def points_to_rows(points) -> np.ndarray:
             buf += pt.x.v.to_bytes(32, "little") + pt.y.v.to_bytes(32, "little")
             buf += (0).to_bytes(8, "little")
     return np.frombuffer(bytes(buf), dtype=U64).reshape(len(points), 9).copy()
+
+
+def point_decompress_vesta(raws: list[bytes]):
+    """Batch-decompress pasta-compressed Vesta points (32-byte encodings,
+    y-parity in the top bit). Returns (xy (n, 8) u64 plain affine, ok (n,)
+    uint8). Identity encodings are the CALLER's business (LazyPoint never
+    holds one). ~66 Python Tonelli sqrts/proof collapse into one call."""
+    n = len(raws)
+    buf = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(n, 32).copy()
+    signs = np.ascontiguousarray(buf[:, 31] >> 7)
+    buf[:, 31] &= 0x7F
+    xs = np.ascontiguousarray(buf).view(U64).reshape(n, 4)
+    out = np.empty((n, 8), dtype=U64)
+    ok = np.zeros(n, dtype=np.uint8)
+    b_const = np.asarray([5, 0, 0, 0], dtype=U64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib().taiga_point_decompress(
+        FIELD_FQ, _ptr(out), ok.ctypes.data_as(u8p), _ptr(xs),
+        signs.ctypes.data_as(u8p), _ptr(b_const), n,
+    )
+    return out, ok

@@ -1386,6 +1386,143 @@ void taiga_tape_eval(int field_id, u64* out, const int32_t* code, long n_ins,
     }
 }
 
+// --- batched point decompression --------------------------------------------
+// pasta compressed form: 32 bytes = x (31.875 bytes LE) with the y-parity in
+// the top bit. y = sqrt(x^3 + 5) via Tonelli-Shanks (both pasta fields have
+// 2-adicity 32, so the p == 3 mod 4 shortcut does not apply). The Python
+// verifier's per-point sqrt (~0.5 ms each, ~66 points/proof) was the largest
+// single verify cost; this runs the whole batch in one call.
+
+struct SqrtPlan {
+    bool init = false;
+    u64 t_odd[4];   // p - 1 = t * 2^S, t odd
+    u64 tp1h[4];    // (t + 1) / 2
+    int S = 0;
+    u64 z0[4];      // nonresidue^t (Montgomery) — generator of the 2-Sylow
+};
+static SqrtPlan g_sqrt[2];
+
+static void shr1_4(u64 v[4]) {
+    for (int i = 0; i < 3; i++) v[i] = (v[i] >> 1) | (v[i + 1] << 63);
+    v[3] >>= 1;
+}
+
+static SqrtPlan& sqrt_plan(int field_id) {
+    SqrtPlan& sp = g_sqrt[field_id];
+    if (sp.init) return sp;
+    const Field& f = g_fields[field_id];
+    u64 t[4];
+    std::memcpy(t, f.mod, 32);
+    t[0] -= 1;  // p odd, no borrow
+    int S = 0;
+    while (!(t[0] & 1)) { shr1_4(t); S++; }
+    std::memcpy(sp.t_odd, t, 32);
+    u64 th[4];
+    std::memcpy(th, t, 32);
+    th[0] += 1;  // t odd -> t+1 even, no overflow past limb 0 carry chain?
+    // (t+1) may carry: t odd means t[0]+1 can't overflow only if t[0]!=~0;
+    // handle the carry properly:
+    if (th[0] == 0) { for (int i = 1; i < 4; i++) { if (++th[i]) break; } }
+    shr1_4(th);
+    std::memcpy(sp.tp1h, th, 32);
+    sp.S = S;
+    // find a quadratic nonresidue c: c^((p-1)/2) == -1
+    u64 pm1h[4];
+    std::memcpy(pm1h, f.mod, 32);
+    pm1h[0] -= 1;
+    shr1_4(pm1h);
+    u64 one_m[4], m1_m[4];
+    u64 one_p[4] = {1, 0, 0, 0};
+    to_mont(one_m, one_p, f);
+    u64 zero[4] = {0, 0, 0, 0};
+    mod_sub(m1_m, zero, one_m, f);
+    for (u64 c = 2;; c++) {
+        u64 cp[4] = {c, 0, 0, 0};
+        u64 cm[4], e[4];
+        to_mont(cm, cp, f);
+        mont_pow(e, cm, pm1h, f);
+        if (std::memcmp(e, m1_m, 32) == 0) {
+            mont_pow(sp.z0, cm, sp.t_odd, f);
+            break;
+        }
+    }
+    sp.init = true;
+    return sp;
+}
+
+// Montgomery-form Tonelli-Shanks: r with r^2 == a, or false if non-residue.
+static bool mont_sqrt(u64 r[4], const u64 a_m[4], const Field& f,
+                      const SqrtPlan& sp, const u64 one_m[4]) {
+    if (is_zero4(a_m)) { std::memset(r, 0, 32); return true; }
+    u64 x[4], b[4], z[4];
+    mont_pow(x, a_m, sp.tp1h, f);  // a^((t+1)/2)
+    mont_pow(b, a_m, sp.t_odd, f); // a^t
+    std::memcpy(z, sp.z0, 32);
+    int s = sp.S;
+    while (std::memcmp(b, one_m, 32) != 0) {
+        int kk = 0;
+        u64 bb[4];
+        std::memcpy(bb, b, 32);
+        while (std::memcmp(bb, one_m, 32) != 0) {
+            mont_sqr(bb, bb, f);
+            kk++;
+            if (kk >= s) return false;  // non-residue (order 2^s exactly)
+        }
+        u64 zz[4];
+        std::memcpy(zz, z, 32);
+        for (int i = 0; i < s - kk - 1; i++) mont_sqr(zz, zz, f);
+        mont_mul(x, x, zz, f);
+        mont_sqr(zz, zz, f);
+        mont_mul(b, b, zz, f);
+        std::memcpy(z, zz, 32);
+        s = kk;
+    }
+    std::memcpy(r, x, 32);
+    return true;
+}
+
+// Decompress n points: x_plain (n, 4) little-endian plain coords, signs (n)
+// y-parity bits. out_xy (n, 8) plain affine; ok[i] = 1 valid, 0 invalid
+// (x >= p or x^3 + b a non-residue). `b_plain` is the curve constant (5).
+void taiga_point_decompress(int field_id, u64* out_xy, unsigned char* ok,
+                            const u64* x_plain, const unsigned char* signs,
+                            const u64* b_plain, long n) {
+    const Field& f = g_fields[field_id];
+    const SqrtPlan& sp = sqrt_plan(field_id);
+    u64 one_p[4] = {1, 0, 0, 0};
+    u64 one_m[4];
+    to_mont(one_m, one_p, f);
+    u64 b_m[4];
+    to_mont(b_m, b_plain, f);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long i = 0; i < n; i++) {
+        const u64* xp = x_plain + 4 * i;
+        if (ge4(xp, f.mod)) { ok[i] = 0; continue; }
+        u64 xm[4], rhs[4], t[4];
+        to_mont(xm, xp, f);
+        mont_sqr(t, xm, f);
+        mont_mul(rhs, t, xm, f);
+        mod_add(rhs, rhs, b_m, f);
+        u64 ym[4];
+        if (!mont_sqrt(ym, rhs, f, sp, one_m)) { ok[i] = 0; continue; }
+        // verify (guards the s>kk early-exit) and fix parity
+        mont_sqr(t, ym, f);
+        if (std::memcmp(t, rhs, 32) != 0) { ok[i] = 0; continue; }
+        u64 yp[4];
+        from_mont(yp, ym, f);
+        if ((int)(yp[0] & 1) != (int)(signs[i] & 1)) {
+            u64 zero[4] = {0, 0, 0, 0};
+            mod_sub(ym, zero, ym, f);
+            from_mont(yp, ym, f);
+        }
+        std::memcpy(out_xy + 8 * i, xp, 32);
+        std::memcpy(out_xy + 8 * i + 4, yp, 32);
+        ok[i] = 1;
+    }
+}
+
 // Evaluate C coefficient rows at Q points: coeffs (C, n, 4) Montgomery,
 // points (Q, 4) Montgomery -> out (Q, C, 4) Montgomery. Horner, threaded.
 void taiga_poly_eval_many(int field_id, u64* out, const u64* coeffs,

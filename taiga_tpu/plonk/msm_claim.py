@@ -76,6 +76,14 @@ class MSMClaim:
         gate on hostops.available() (ipa_verify falls back to the device
         path when the native toolchain is absent)."""
         from ..native import FIELD_FP, FIELD_FQ, hostops as H
+        from .transcript import resolve_lazy_points
+
+        try:
+            # one native Tonelli-Shanks batch for every deferred proof point
+            # accumulated across the whole claim (all proofs in the batch)
+            resolve_lazy_points([p for p, _ in self._extras])
+        except ValueError:
+            return False  # malformed point encoding => invalid proof
 
         rows = []
         scalars = []

@@ -107,6 +107,21 @@ def build_constraints(
     return exprs
 
 
+def protocol_for(vk) -> tuple[list[Expression], list[tuple[str, int, int]]]:
+    """(constraints, queries) for a verifying key, built once and cached on
+    the vk — the verifier used to rebuild both per call (~4 ms/verify)."""
+    cached = getattr(vk, "_protocol_cache", None)
+    if cached is None:
+        exprs = build_constraints(vk.cs, vk.perm_cols, vk.usable_rows)
+        queries = collect_queries(exprs, vk.cs.num_fixed)
+        cached = (exprs, queries)
+        try:
+            vk._protocol_cache = cached
+        except AttributeError:
+            pass  # vk without __dict__: still correct, just uncached
+    return cached
+
+
 def collect_queries(exprs: list[Expression], num_fixed: int) -> list[tuple[str, int, int]]:
     """Ordered opening queries for committed columns: (kind, index, rotation).
 

@@ -719,6 +719,12 @@ def _from_mont_pack_jit(a):
     return L.pack_limbs(L.from_mont(a, L.FP))
 
 
+@jax.jit
+def _eval_batch_jit(all_coeffs_b, pts_mont_b):
+    """(B, C, n, 16) coeffs x (B, Q, 16) points -> (B, Q, C, 16) evals."""
+    return jax.vmap(poly.eval_polys_at_points)(all_coeffs_b, pts_mont_b)
+
+
 def _mont_rows_to_ints(rows_mont) -> list[list[int]]:
     """(C, n, 16) device Montgomery -> host int columns (packed transfer)."""
     packed = np.asarray(jax.device_get(_from_mont_pack_jit(rows_mont)))
@@ -748,7 +754,11 @@ def _permute_lookup_pair(a_vals: list[int], s_vals: list[int], u: int):
                 raise ValueError(f"lookup failure: input value {v:#x} not in table")
             leftover[v] -= 1
             s_perm[i] = v
-    fill = (val for val, cnt in leftover.items() for _ in range(cnt))
+    # leftover fill in SORTED value order — the device permutation
+    # (ops/lookup_sort.py) fills from a sorted compaction, and keeping the
+    # two paths identical preserves bit-exact host/device proof parity
+    # (tools/prover_diff.py)
+    fill = (val for val in sorted(leftover.elements()))
     for i in range(u):
         if s_perm[i] is None:
             s_perm[i] = next(fill)
@@ -821,31 +831,45 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     st_t.mark("advice commit")
 
     # --- lookup permuted columns (halo2 lookup::commit_permuted) -------
+    # sort/merge/fill runs ON DEVICE (ops/lookup_sort.py) — no host round
+    # trip; A'/S' commit in ONE batched MSM. The ok flags stream back
+    # asynchronously and are checked at the end of the proof.
     lookups = vk.cs.lookups
     theta = 0
     lk_a_v = lk_s_v = lk_ap_v = lk_sp_v = None
     lk_ap_c = lk_sp_c = None
     lk_ap_blinds = lk_sp_blinds = []
+    lk_ok = None
     inst_v = _to_mont_jit(jnp.asarray(L.ints_to_limbs(inst_col))[None])
     if lookups:
+        from ..ops import lookup_sort as LS
+
         theta = tr.challenge(b"theta").v
         lk_a_v, lk_s_v = pipe.lookup_as_values(advice_v, inst_v, theta)
-        a_host = _mont_rows_to_ints(lk_a_v)
-        s_host = _mont_rows_to_ints(lk_s_v)
-        ap_cols, sp_cols = [], []
-        for a_col, s_col in zip(a_host, s_host):
-            ap, sp = _permute_lookup_pair(a_col, s_col, u)
-            ap_cols.append(ap + [_rand() for _ in range(n - u)])
-            sp_cols.append(sp + [_rand() for _ in range(n - u)])
-        lk_ap_v = _cols_to_mont_dev(ap_cols)
-        lk_sp_v = _cols_to_mont_dev(sp_cols)
-        lk_ap_c = pipe.values_to_coeffs(lk_ap_v)
-        lk_sp_c = pipe.values_to_coeffs(lk_sp_v)
+        nlk = len(lookups)
+        ap_u, sp_u, lk_ok = LS.permute_pairs_device(lk_a_v, lk_s_v, u)
+        try:
+            lk_ok.copy_to_host_async()
+        except Exception:
+            pass
+        # blinding rows drawn per lookup ap-then-sp — the same _rand() order
+        # as the host prover, keeping seeded host/device proofs bit-identical
+        rand_rows = [
+            np.asarray(L.FP.array_to_mont([_rand() for _ in range(n - u)]))
+            for _ in range(2 * nlk)
+        ]
+        ap_rand = jnp.asarray(np.stack(rand_rows[0::2]))
+        sp_rand = jnp.asarray(np.stack(rand_rows[1::2]))
+        lk_ap_v = jnp.concatenate([ap_u, ap_rand], axis=1)
+        lk_sp_v = jnp.concatenate([sp_u, sp_rand], axis=1)
+        both_c = pipe.values_to_coeffs(
+            jnp.concatenate([lk_ap_v, lk_sp_v], axis=0)
+        )
+        lk_ap_c, lk_sp_c = both_c[:nlk], both_c[nlk:]
         lk_ap_blinds = [_rand() for _ in lookups]
         lk_sp_blinds = [_rand() for _ in lookups]
-        ap_pts = pipe.commit_coeff_rows(lk_ap_c, lk_ap_blinds)
-        sp_pts = pipe.commit_coeff_rows(lk_sp_c, lk_sp_blinds)
-        for a_pt, s_pt in zip(ap_pts, sp_pts):
+        pts = pipe.commit_coeff_rows(both_c, lk_ap_blinds + lk_sp_blinds)
+        for a_pt, s_pt in zip(pts[:nlk], pts[nlk:]):
             tr.write_point(a_pt)
             tr.write_point(s_pt)
         st_t.mark("lookup permuted commit")
@@ -869,15 +893,22 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     st_t.mark("perm grand products")
     z_c = pipe.values_to_coeffs(z_v)
     z_blinds = [_rand() for _ in range(z_v.shape[0])]
-    for pt in pipe.commit_coeff_rows(z_c, z_blinds):
-        tr.write_point(pt)
     lk_z_c = None
     lk_z_blinds = []
     if lookups:
+        # permutation + lookup grand products commit in ONE batched MSM
+        # (transcript order: z chunks, then lookup z's — unchanged)
         lk_z_v = pipe.lookup_z_values(lk_a_v, lk_s_v, lk_ap_v, lk_sp_v, beta, gamma)
         lk_z_c = pipe.values_to_coeffs(lk_z_v)
         lk_z_blinds = [_rand() for _ in lookups]
-        for pt in pipe.commit_coeff_rows(lk_z_c, lk_z_blinds):
+        nz = z_c.shape[0]
+        pts = pipe.commit_coeff_rows(
+            jnp.concatenate([z_c, lk_z_c], axis=0), z_blinds + lk_z_blinds
+        )
+        for pt in pts:
+            tr.write_point(pt)
+    else:
+        for pt in pipe.commit_coeff_rows(z_c, z_blinds):
             tr.write_point(pt)
     st_t.mark("z commit")
 
@@ -925,9 +956,11 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     }
     kind_order = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
 
-    # --- evaluations at the query points (batched) --------------------
-    from ..native import FIELD_FP as _NFP, hostops as H
-
+    # --- evaluations at the query points (device) ---------------------
+    # coefficient stacks STAY on device: evals at the (few) query points
+    # are one compiled program and the multiopen aggregation is linear, so
+    # only ~n*32B (the final IPA input) ever crosses the tunnel — the old
+    # native path pulled the full ~90-column stack (~23 MB/proof at k=13).
     queries = pipe.queries
     rotset = sorted({rot % n for (_, _, rot) in queries})
     points = {rot: x * pow(omega, rot, P) % P for rot in rotset}
@@ -940,34 +973,16 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
     for kd in kind_order:
         offsets[kd] = off
         off += kind_stacks[kd][0].shape[0]
+    pts_mont = jnp.stack([_mont_scalar(points[rot]) for rot in rotset])
+    evals_dev = poly.eval_polys_at_points(all_coeffs, pts_mont)  # (Q, C, 16)
+    ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
     evals_host = {}
-    coeffs_host = None
-    if H.available():
-        # device Montgomery 16-limb -> host Montgomery u64, PACKED transfer
-        # (2 limbs/u32: the unpacked pull was 23 MB/proof over the tunnel);
-        # also reused by the native multiopen below
-        coeffs_host = L.packed_to_u64(
-            np.asarray(jax.device_get(_pack_jit(all_coeffs)))
-        )
-        pts = H.to_mont(_NFP, H.ints_to_u64([points[rot] for rot in rotset]))
-        ev = H.from_mont(_NFP, H.poly_eval_many(_NFP, coeffs_host, pts))
-        ev_ints = H.u64_to_ints(ev)
-        ncols = all_coeffs.shape[0]
-        for qi, rot in enumerate(rotset):
-            for kd in kind_order:
-                base = offsets[kd]
-                for ci in range(kind_stacks[kd][0].shape[0]):
-                    evals_host[(kd, ci, rot)] = ev_ints[qi * ncols + base + ci]
-    else:
-        pts_mont = jnp.stack([_mont_scalar(points[rot]) for rot in rotset])
-        evals_dev = poly.eval_polys_at_points(all_coeffs, pts_mont)  # (Q, C, 16)
-        ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
-        for qi, rot in enumerate(rotset):
-            row = ev_np[qi]
-            for kd in kind_order:
-                base = offsets[kd]
-                for ci in range(kind_stacks[kd][0].shape[0]):
-                    evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
+    for qi, rot in enumerate(rotset):
+        row = ev_np[qi]
+        for kd in kind_order:
+            base = offsets[kd]
+            for ci in range(kind_stacks[kd][0].shape[0]):
+                evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
 
     evals = {}
     for kind, idx, rot in queries:
@@ -976,45 +991,29 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         tr.write_scalar(Fp(v))
     st_t.mark("query evals")
 
-    # --- multiopen ----------------------------------------------------
+    # deferred lookup-failure check (flag streamed back since the lookup
+    # stage; by now the async copy has long landed)
+    if lk_ok is not None and not bool(np.asarray(jax.device_get(lk_ok)).all()):
+        raise ValueError("lookup failure: input value not in table")
+
+    # --- multiopen (device aggregation + native IPA tail) -------------
+    from .hybrid_open import multiopen_open_hybrid
+
     entries = []
     for kind, idx, rot in queries:
         entries.append(
             {
-                "coeff_ref": (kind, idx),
+                "coeff_idx": offsets[kind] + idx,
                 "blind": kind_stacks[kind][1][idx],
                 "point": points[rot % n],
                 "value": evals[(kind, idx, rot)],
             }
         )
-    if coeffs_host is not None:
-        # native aggregation + IPA open: zero XLA compile (the device
-        # multiopen/IPA was the pipeline's largest compile) and faster at
-        # taiga's domain sizes
-        from .native_open import multiopen_open_native
-
-        for e in entries:
-            kind, ci = e["coeff_ref"]
-            e["coeff_idx"] = offsets[kind] + ci
-        multiopen_open_native(k, coeffs_host, entries, tr)
-    else:
-        multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr)
+    multiopen_open_hybrid(pipe, all_coeffs, entries, tr)
     st_t.mark("multiopen + IPA")
     return tr.bytes()
 
 
-
-def _pack_async(arr):
-    """Start packing + host transfer of a coefficient stack NOW so the pull
-    overlaps the remaining proof stages (the tunnel to the TPU is the
-    steady-state bottleneck of the batched prover; see create_proofs_batch's
-    evals section, which consumes these)."""
-    packed = _pack_jit(arr)
-    try:
-        packed.copy_to_host_async()
-    except Exception:
-        pass  # transfer overlap is an optimization only
-    return packed
 
 
 def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[bytes]:
@@ -1080,7 +1079,6 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
         L.ints_to_packed(col).reshape(1, n, L.NLIMBS // 2) for col in inst_cols
     ]))))
     advice_cb = pipe.values_to_coeffs(advice_vb)
-    advice_pk_h = _pack_async(advice_cb)
     advice_blinds = [[_rand() for _ in range(ncols)] for _ in range(B)]
     pts = pipe.commit_coeff_rows(
         advice_cb.reshape(B * ncols, n, L.NLIMBS),
@@ -1098,54 +1096,45 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     lk_ap_blinds = [[] for _ in range(B)]
     lk_sp_blinds = [[] for _ in range(B)]
     nlk = len(lookups)
+    lk_ok = None
     if lookups:
+        from ..ops import lookup_sort as LS
+
         thetas = [tr.challenge(b"theta").v for tr in trs]
         lk_a_vb, lk_s_vb = pipe.lookup_as_values_batch(advice_vb, inst_vb, thetas)
-        a_plain = L.packed_to_u64(
-            np.asarray(jax.device_get(_from_mont_pack_jit(lk_a_vb))))
-        s_plain = L.packed_to_u64(
-            np.asarray(jax.device_get(_from_mont_pack_jit(lk_s_vb))))
-
-        def _u64_rows_to_ints(rows):
-            buf = np.ascontiguousarray(rows, dtype="<u8").tobytes()
-            return [int.from_bytes(buf[32 * i : 32 * i + 32], "little")
-                    for i in range(rows.shape[0])]
-
-        ap_all, sp_all = [], []
-        for bi in range(B):
-            ap_cols, sp_cols = [], []
-            for li in range(nlk):
-                a_col = _u64_rows_to_ints(a_plain[bi, li])
-                s_col = _u64_rows_to_ints(s_plain[bi, li])
-                ap, sp = _permute_lookup_pair(a_col, s_col, u)
-                ap_cols.append(ap + [_rand() for _ in range(n - u)])
-                sp_cols.append(sp + [_rand() for _ in range(n - u)])
-            ap_all.append(ap_cols)
-            sp_all.append(sp_cols)
-        lk_ap_vb = shard(_unpack_to_mont_jit(jnp.asarray(np.stack([
-            L.ints_to_packed([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS // 2)
-            for cols in ap_all
-        ]))))
-        lk_sp_vb = shard(_unpack_to_mont_jit(jnp.asarray(np.stack([
-            L.ints_to_packed([v for c in cols for v in c]).reshape(nlk, n, L.NLIMBS // 2)
-            for cols in sp_all
-        ]))))
+        # device sort/merge/fill over all B*L lookup columns in one program
+        ap_u, sp_u, lk_ok = LS.permute_pairs_device(
+            lk_a_vb.reshape(B * nlk, n, L.NLIMBS),
+            lk_s_vb.reshape(B * nlk, n, L.NLIMBS), u)
+        try:
+            lk_ok.copy_to_host_async()
+        except Exception:
+            pass
+        # per (proof, lookup) ap-then-sp rand order (matches the host prover)
+        rand_rows = [
+            np.asarray(L.FP.array_to_mont([_rand() for _ in range(n - u)]))
+            for _ in range(2 * B * nlk)
+        ]
+        ap_rand = jnp.asarray(np.stack(rand_rows[0::2]))
+        sp_rand = jnp.asarray(np.stack(rand_rows[1::2]))
+        lk_ap_vb = shard(jnp.concatenate([ap_u, ap_rand], axis=1)
+                         .reshape(B, nlk, n, L.NLIMBS))
+        lk_sp_vb = shard(jnp.concatenate([sp_u, sp_rand], axis=1)
+                         .reshape(B, nlk, n, L.NLIMBS))
         lk_ap_cb = pipe.values_to_coeffs(lk_ap_vb)
         lk_sp_cb = pipe.values_to_coeffs(lk_sp_vb)
-        ap_pk_h = _pack_async(lk_ap_cb)
-        sp_pk_h = _pack_async(lk_sp_cb)
         lk_ap_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
         lk_sp_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
-        ap_pts = pipe.commit_coeff_rows(
-            lk_ap_cb.reshape(B * nlk, n, L.NLIMBS),
-            [b for bs in lk_ap_blinds for b in bs])
-        sp_pts = pipe.commit_coeff_rows(
-            lk_sp_cb.reshape(B * nlk, n, L.NLIMBS),
-            [b for bs in lk_sp_blinds for b in bs])
+        pts = pipe.commit_coeff_rows(
+            jnp.concatenate([lk_ap_cb, lk_sp_cb], axis=1)
+            .reshape(B * 2 * nlk, n, L.NLIMBS),
+            [b for bi in range(B)
+             for b in lk_ap_blinds[bi] + lk_sp_blinds[bi]])
         for bi, tr in enumerate(trs):
+            base = bi * 2 * nlk
             for li in range(nlk):
-                tr.write_point(ap_pts[bi * nlk + li])
-                tr.write_point(sp_pts[bi * nlk + li])
+                tr.write_point(pts[base + li])
+                tr.write_point(pts[base + nlk + li])
         st_t.mark("lookup permuted commit (batch)")
 
     betas = [tr.challenge(b"beta").v for tr in trs]
@@ -1168,27 +1157,30 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     z_vb = pipe.z_values_batch(cols_vb, betas, gammas)
     st_t.mark("perm grand products (batch)")
     z_cb = pipe.values_to_coeffs(z_vb)
-    z_pk_h = _pack_async(z_cb)
     nz = z_vb.shape[1]
     z_blinds = [[_rand() for _ in range(nz)] for _ in range(B)]
-    zpts = pipe.commit_coeff_rows(
-        z_cb.reshape(B * nz, n, L.NLIMBS), [b for bs in z_blinds for b in bs])
-    for bi, tr in enumerate(trs):
-        for pt in zpts[bi * nz : (bi + 1) * nz]:
-            tr.write_point(pt)
     lk_z_cb = None
     lk_z_blinds = [[] for _ in range(B)]
     if lookups:
+        # z + lookup-z commit in ONE batched MSM (transcript order per
+        # proof: z chunks then lookup z's — unchanged)
         lk_z_vb = pipe.lookup_z_values_batch(
             lk_a_vb, lk_s_vb, lk_ap_vb, lk_sp_vb, betas, gammas)
         lk_z_cb = pipe.values_to_coeffs(lk_z_vb)
-        lz_pk_h = _pack_async(lk_z_cb)
         lk_z_blinds = [[_rand() for _ in range(nlk)] for _ in range(B)]
-        lzpts = pipe.commit_coeff_rows(
-            lk_z_cb.reshape(B * nlk, n, L.NLIMBS),
-            [b for bs in lk_z_blinds for b in bs])
+        allpts = pipe.commit_coeff_rows(
+            jnp.concatenate([z_cb, lk_z_cb], axis=1)
+            .reshape(B * (nz + nlk), n, L.NLIMBS),
+            [b for bi in range(B) for b in z_blinds[bi] + lk_z_blinds[bi]])
         for bi, tr in enumerate(trs):
-            for pt in lzpts[bi * nlk : (bi + 1) * nlk]:
+            for pt in allpts[bi * (nz + nlk) : (bi + 1) * (nz + nlk)]:
+                tr.write_point(pt)
+    else:
+        zpts = pipe.commit_coeff_rows(
+            z_cb.reshape(B * nz, n, L.NLIMBS),
+            [b for bs in z_blinds for b in bs])
+        for bi, tr in enumerate(trs):
+            for pt in zpts[bi * nz : (bi + 1) * nz]:
                 tr.write_point(pt)
     st_t.mark("z commit (batch)")
 
@@ -1213,7 +1205,6 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     assert not np.asarray(jax.device_get(tail)).any(), "quotient degree overflow"
     st_t.mark("quotient eval (batch)")
     h_pieces_b = h_all_b[:, : NUM_H_PIECES * n].reshape(B, NUM_H_PIECES, n, L.NLIMBS)
-    h_pk_h = _pack_async(h_pieces_b)
     h_blinds = [[_rand() for _ in range(NUM_H_PIECES)] for _ in range(B)]
     hpts = pipe.commit_coeff_rows(
         h_pieces_b.reshape(B * NUM_H_PIECES, n, L.NLIMBS),
@@ -1225,83 +1216,75 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
 
     xs = [tr.challenge(b"x").v for tr in trs]
 
-    # --- per-proof evals + multiopen (native, threaded) -----------------
-    from ..native import hostops as H
-    from .native_open import multiopen_open_native
-
-    assert H.available(), "batched prover requires the native engine for multiopen"
+    # --- batched device evals + hybrid multiopen ------------------------
+    # coefficient stacks stay ON DEVICE (the old path pulled ~B*23 MB of
+    # packed coefficients over the ~10 MB/s tunnel); evals are one vmapped
+    # program and only the per-proof aggregate f (B*n*32B) is pulled for
+    # the threaded native IPA tails.
     kind_order = (ADVICE, FIXED, SIGMA, Z, LOOKUP_A, LOOKUP_S, LOOKUP_Z, QUOTIENT)
     queries = pipe.queries
-    fixed_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["fixed_c"]))))
-    sigma_c_h = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(st["sigma_c"]))))
-    advice_c_h = L.packed_to_u64(np.asarray(jax.device_get(advice_pk_h)))
-    z_c_h = L.packed_to_u64(np.asarray(jax.device_get(z_pk_h)))
-    h_c_h = L.packed_to_u64(np.asarray(jax.device_get(h_pk_h)))
-    if lookups:
-        ap_c_h = L.packed_to_u64(np.asarray(jax.device_get(ap_pk_h)))
-        sp_c_h = L.packed_to_u64(np.asarray(jax.device_get(sp_pk_h)))
-        lz_c_h = L.packed_to_u64(np.asarray(jax.device_get(lz_pk_h)))
-    from ..native import FIELD_FP as _NFP
+    empty_b = jnp.zeros((B, 0, n, L.NLIMBS), jnp.uint32)
+    fixed_b = jnp.broadcast_to(st["fixed_c"][None], (B,) + st["fixed_c"].shape)
+    sigma_b = jnp.broadcast_to(st["sigma_c"][None], (B,) + st["sigma_c"].shape)
+    kind_stacks_b = {
+        ADVICE: (advice_cb, advice_blinds),
+        FIXED: (fixed_b, [[0] * st["fixed_c"].shape[0]] * B),
+        SIGMA: (sigma_b, [[0] * st["sigma_c"].shape[0]] * B),
+        Z: (z_cb, z_blinds),
+        LOOKUP_A: (lk_ap_cb if lookups else empty_b, lk_ap_blinds),
+        LOOKUP_S: (lk_sp_cb if lookups else empty_b, lk_sp_blinds),
+        LOOKUP_Z: (lk_z_cb if lookups else empty_b, lk_z_blinds),
+        QUOTIENT: (h_pieces_b, h_blinds),
+    }
+    all_coeffs_b = jnp.concatenate(
+        [kind_stacks_b[kd][0] for kd in kind_order
+         if kind_stacks_b[kd][0].shape[1]], axis=1)  # (B, C, n, 16)
+    offsets = {}
+    off = 0
+    for kd in kind_order:
+        offsets[kd] = off
+        off += kind_stacks_b[kd][0].shape[1]
+    rotset = sorted({rot % n for (_, _, rot) in queries})
+    points_b = [
+        {rot: xs[bi] * pow(omega, rot, P) % P for rot in rotset}
+        for bi in range(B)
+    ]
+    pts_mont_b = jnp.asarray(np.stack([
+        np.stack([L.int_to_limbs(points_b[bi][rot] * L.FP.r % P)
+                  for rot in rotset])
+        for bi in range(B)]))
+    evals_dev = _eval_batch_jit(all_coeffs_b, pts_mont_b)  # (B, Q, C, 16)
+    ev_np = np.asarray(jax.device_get(_from_mont_jit(evals_dev)))
+    if lk_ok is not None and not bool(np.asarray(jax.device_get(lk_ok)).all()):
+        raise ValueError("lookup failure: input value not in table")
 
-    def finish_one(bi):
-        tr = trs[bi]
-        x = xs[bi]
-        empty = np.zeros((0, n, 4), np.dtype("<u8"))
-        kind_stacks = {
-            ADVICE: (advice_c_h[bi], advice_blinds[bi]),
-            FIXED: (fixed_c_h, [0] * fixed_c_h.shape[0]),
-            SIGMA: (sigma_c_h, [0] * sigma_c_h.shape[0]),
-            Z: (z_c_h[bi], z_blinds[bi]),
-            LOOKUP_A: (ap_c_h[bi] if lookups else empty, lk_ap_blinds[bi]),
-            LOOKUP_S: (sp_c_h[bi] if lookups else empty, lk_sp_blinds[bi]),
-            LOOKUP_Z: (lz_c_h[bi] if lookups else empty, lk_z_blinds[bi]),
-            QUOTIENT: (h_c_h[bi], h_blinds[bi]),
-        }
-        rotset = sorted({rot % n for (_, _, rot) in queries})
-        points = {rot: x * pow(omega, rot, P) % P for rot in rotset}
-        all_coeffs = np.concatenate(
-            [kind_stacks[kd][0] for kd in kind_order if kind_stacks[kd][0].shape[0]],
-            axis=0)
-        offsets = {}
-        off = 0
-        for kd in kind_order:
-            offsets[kd] = off
-            off += kind_stacks[kd][0].shape[0]
-        ptsm = H.to_mont(_NFP, H.ints_to_u64([points[rot] for rot in rotset]))
-        ev_ints = H.u64_to_ints(
-            H.from_mont(_NFP, H.poly_eval_many(_NFP, all_coeffs, ptsm)))
-        ncols_all = all_coeffs.shape[0]
+    entries_b = []
+    for bi, tr in enumerate(trs):
         evals_host = {}
         for qi, rot in enumerate(rotset):
+            row = ev_np[bi, qi]
             for kd in kind_order:
                 base = offsets[kd]
-                for ci in range(kind_stacks[kd][0].shape[0]):
-                    evals_host[(kd, ci, rot)] = ev_ints[qi * ncols_all + base + ci]
+                for ci in range(kind_stacks_b[kd][0].shape[1]):
+                    evals_host[(kd, ci, rot)] = L.limbs_to_int(row[base + ci])
         entries = []
         for kind, idx, rot in queries:
             v = evals_host[(kind, idx, rot % n)]
             tr.write_scalar(Fp(v))
             entries.append({
                 "coeff_idx": offsets[kind] + idx,
-                "blind": kind_stacks[kind][1][idx],
-                "point": points[rot % n],
+                "blind": kind_stacks_b[kind][1][bi][idx],
+                "point": points_b[bi][rot % n],
                 "value": v,
             })
-        multiopen_open_native(k, all_coeffs, entries, tr)
-        return tr.bytes()
+        entries_b.append(entries)
+    st_t.mark("query evals (batch)")
 
-    # transcripts are per proof: the native tails run concurrently (the C
-    # engine releases the GIL; cap threads to avoid OpenMP oversubscription)
-    from concurrent.futures import ThreadPoolExecutor
+    from .hybrid_open import multiopen_open_hybrid_batch
 
-    workers = min(4, B)
-    if workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            proofs = list(ex.map(finish_one, range(B)))
-    else:
-        proofs = [finish_one(0)]
-    st_t.mark("evals + multiopen + IPA (per proof)")
-    return proofs
+    multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs)
+    st_t.mark("multiopen + IPA (batch)")
+    return [tr.bytes() for tr in trs]
 
 
 def multiopen_open_device(pipe, kind_stacks, offsets, all_coeffs, entries, tr):

@@ -61,6 +61,62 @@ class ProofWriter(Transcript):
         return bytes(self.data)
 
 
+class LazyPoint:
+    """A proof point whose decompression (Tonelli-Shanks sqrt) is deferred —
+    resolve_lazy_points() materializes a whole batch in one native call.
+    Attribute access before resolution falls back to the Python path (correct,
+    just slower), so every consumer keeps working."""
+
+    __slots__ = ("raw", "_pt")
+
+    def __init__(self, raw: bytes):
+        self.raw = raw
+        self._pt = None
+
+    def _resolve_now(self) -> VestaPoint:
+        if self._pt is None:
+            pt = VestaPoint.from_bytes(self.raw)
+            if pt is None:
+                raise ValueError("invalid point in proof")
+            self._pt = pt
+        return self._pt
+
+    def is_identity(self) -> bool:
+        return False  # the zero encoding short-circuits in read_point
+
+    @property
+    def x(self):
+        return self._resolve_now().x
+
+    @property
+    def y(self):
+        return self._resolve_now().y
+
+    def to_bytes(self) -> bytes:
+        return self.raw
+
+
+def resolve_lazy_points(points) -> None:
+    """Batch-decompress every unresolved LazyPoint via the native engine.
+    Raises ValueError if any encoding is invalid (off-curve / x >= p)."""
+    pending = [p for p in points
+               if isinstance(p, LazyPoint) and p._pt is None]
+    if not pending:
+        return
+    from ..crypto.fields import Fq
+    from ..native import hostops as H
+
+    xy, ok = H.point_decompress_vesta([p.raw for p in pending])
+    if not ok.all():
+        raise ValueError("invalid point in proof")
+    for i, p in enumerate(pending):
+        x = int(xy[i, 0]) | int(xy[i, 1]) << 64 | int(xy[i, 2]) << 128 \
+            | int(xy[i, 3]) << 192
+        y = int(xy[i, 4]) | int(xy[i, 5]) << 64 | int(xy[i, 6]) << 128 \
+            | int(xy[i, 7]) << 192
+        p._pt = VestaPoint(Fq(x), Fq(y))
+
+
 class ProofReader(Transcript):
     """Transcript that replays a proof byte stream."""
 
@@ -74,6 +130,18 @@ class ProofReader(Transcript):
         if len(raw) != 32:
             raise ValueError("proof too short")
         self.off += 32
+        if raw != bytes(32):
+            from ..native import hostops as H
+
+            if H.available():
+                # defer the sqrt: the transcript only needs the compressed
+                # bytes (to_bytes(from_bytes(b)) == b for valid encodings),
+                # and the coordinates are only touched by the final MSM —
+                # MSMClaim.check decompresses every pending point of the
+                # whole batch in ONE native call (~66 Python Tonelli sqrts
+                # per proof were the single largest verify cost)
+                self.absorb_bytes(b"P" + raw)
+                return LazyPoint(raw)
         pt = VestaPoint.from_bytes(raw)
         if pt is None:
             raise ValueError("invalid point in proof")

@@ -27,10 +27,9 @@ from .protocol import (
     SIGMA,
     XID,
     Z,
-    build_constraints,
-    collect_queries,
     eval_at_point,
     num_chunks,
+    protocol_for,
     transparent_eval,
 )
 from .srs import get_params
@@ -120,18 +119,24 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
     h_c = [tr.read_point() for _ in range(NUM_H_PIECES)]
     x = tr.challenge(b"x").v
 
-    exprs = build_constraints(cs, vk.perm_cols, u)
+    exprs, queries = protocol_for(vk)
     challenges = {"beta": beta, "gamma": gamma, "theta": theta}
-    queries = collect_queries(exprs, cs.num_fixed)
     evals = {}
     for q in queries:
         evals[q] = tr.read_scalar().v
 
     # --- vanishing identity at x -------------------------------------
+    transparent_memo: dict = {}
+
     def getter(kind, idx, rot):
         if (kind, idx, rot) in evals:
             return evals[(kind, idx, rot)]
-        return transparent_eval(kind, idx, rot, x, k, u, omega, inst)
+        key = (kind, idx, rot)
+        v = transparent_memo.get(key)
+        if v is None:
+            v = transparent_eval(kind, idx, rot, x, k, u, omega, inst)
+            transparent_memo[key] = v
+        return v
 
     acc = 0
     for e in exprs:
