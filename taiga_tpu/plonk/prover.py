@@ -510,12 +510,58 @@ class ProverPipeline:
 
         return qfn
 
+    def _tape_quotient_acc(self, advice_e, inst_e, z_e, beta, gamma, y,
+                           theta, lk_a_e, lk_s_e, lk_z_e):
+        """Quotient numerator via the device tape interpreter: ONE compiled
+        program per domain size executes the circuit-as-data instruction
+        stream (ops/tape_device.py) — no per-circuit quotient compiles."""
+        from ..ops import tape_device as TD
+        from .tape import compile_tape
+
+        st = self.static_tables()
+        if getattr(self, "_tape", None) is None:
+            self._tape = compile_tape(self.exprs, EXT_FACTOR)
+        D = self.n * EXT_FACTOR
+        ks = {
+            FIXED: st["fixed_e"], SIGMA: st["sigma_e"], ADVICE: advice_e,
+            INSTANCE: inst_e, Z: z_e,
+            LOOKUP_A: lk_a_e, LOOKUP_S: lk_s_e, LOOKUP_Z: lk_z_e,
+            XID: st["xid"][None], L0: st["l0"][None],
+            LLAST: st["llast"][None], LBLIND: st["lblind"][None],
+        }
+        svals = self._tape.scalar_values(
+            {"beta": beta, "gamma": gamma, "theta": theta, "y": y})
+        return TD.tape_eval_device(self._tape, ks, svals, D)
+
+    def _use_tape(self) -> bool:
+        return (os.environ.get("TAIGA_DEVICE_TAPE", "1") == "1"
+                and jax.default_backend() == "tpu")
+
+    def _finish_quotient(self):
+        if getattr(self, "_finish_jit", None) is None:
+            k3 = self.k + 3
+
+            def finish(acc, zh_inv):
+                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
+
+            self._finish_jit = jax.jit(finish)
+        return self._finish_jit
+
     def quotient_coeffs(
         self, advice_e, inst_e, z_e, beta: int, gamma: int, y: int,
         theta: int = 0, lk_a_e=None, lk_s_e=None, lk_z_e=None,
     ):
         st = self.static_tables()
         has_lk = bool(self.pk.vk.cs.lookups)
+        if self._use_tape():
+            if not has_lk:
+                ne = self.n * EXT_FACTOR
+                empty = jnp.zeros((0, ne, L.NLIMBS), jnp.uint32)
+                lk_a_e = lk_s_e = lk_z_e = empty
+            acc = self._tape_quotient_acc(
+                advice_e, inst_e, z_e, beta, gamma, y, theta,
+                lk_a_e, lk_s_e, lk_z_e)
+            return self._finish_quotient()(acc, st["zh_inv"])
         if self._quotient_jit is None:
             m = self.QUOTIENT_CHUNK
             groups = [
@@ -614,6 +660,23 @@ class ProverPipeline:
         st = self.static_tables()
         B = advice_eb.shape[0]
         has_lk = bool(self.pk.vk.cs.lookups)
+        if self._use_tape():
+            # per-proof tape runs (sequential dispatches; each is one cached
+            # program — the vmapped chunk path would recompile per circuit)
+            ne = self.n * EXT_FACTOR
+            if not has_lk:
+                empty = jnp.zeros((0, ne, L.NLIMBS), jnp.uint32)
+                lk_a_eb = lk_s_eb = lk_z_eb = (
+                    jnp.zeros((B, 0, ne, L.NLIMBS), jnp.uint32))
+            finish = self._finish_quotient()
+            outs = []
+            for bi in range(B):
+                acc = self._tape_quotient_acc(
+                    advice_eb[bi], inst_eb[bi], z_eb[bi], betas[bi],
+                    gammas[bi], ys[bi], thetas[bi],
+                    lk_a_eb[bi], lk_s_eb[bi], lk_z_eb[bi])
+                outs.append(finish(acc, st["zh_inv"]))
+            return jnp.stack(outs)
         if getattr(self, "_quotient_jit_b", None) is None:
             m = self.QUOTIENT_CHUNK
             groups = [
