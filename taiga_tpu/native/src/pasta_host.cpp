@@ -956,7 +956,7 @@ void taiga_ec_msm_many(int field_id, u64* out, const u64* pts,
 void taiga_vec_to_mont(int field_id, u64* out, const u64* a, long n) {
     const Field& f = g_fields[field_id];
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++) to_mont(out + 4 * i, a + 4 * i, f);
 }
@@ -964,7 +964,7 @@ void taiga_vec_to_mont(int field_id, u64* out, const u64* a, long n) {
 void taiga_vec_from_mont(int field_id, u64* out, const u64* a, long n) {
     const Field& f = g_fields[field_id];
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++) from_mont(out + 4 * i, a + 4 * i, f);
 }
@@ -975,7 +975,7 @@ void taiga_vec_mul(int field_id, u64* out, const u64* a, const u64* b,
                    long n, long b_stride) {
     const Field& f = g_fields[field_id];
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++)
         mont_mul(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
@@ -985,7 +985,7 @@ void taiga_vec_add(int field_id, u64* out, const u64* a, const u64* b,
                    long n, long b_stride) {
     const Field& f = g_fields[field_id];
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++)
         mod_add(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
@@ -995,7 +995,7 @@ void taiga_vec_sub(int field_id, u64* out, const u64* a, const u64* b,
                    long n, long b_stride) {
     const Field& f = g_fields[field_id];
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++)
         mod_sub(out + 4 * i, a + 4 * i, b + 4 * i * b_stride, f);
@@ -1053,7 +1053,7 @@ void taiga_vec_neg(int field_id, u64* out, const u64* a, long n) {
     const Field& f = g_fields[field_id];
     u64 zero[4] = {0, 0, 0, 0};
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 32768)
 #endif
     for (long i = 0; i < n; i++) mod_sub(out + 4 * i, zero, a + 4 * i, f);
 }

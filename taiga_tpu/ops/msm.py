@@ -591,13 +591,24 @@ def _make_fixed_table_dev(px, py, pz, field: str, c: int):
 _fixed_tables: dict = {}
 
 
+_FIXED_TABLE_CAP = 3  # device-resident tables (~200 MB each at k=15)
+
+
 def fixed_base_table(px, py, pz, key, field: str = "fq", c: int = WINDOW_BITS):
     """Build (or fetch) the shifted table for a fixed point set. `key` is a
-    hashable cache key (e.g. ("srs", k)); the table stays on device."""
-    entry = _fixed_tables.get((key, field, c))
+    hashable cache key (e.g. ("srs", k)); the table stays on device. The
+    point COUNT is part of the key and re-checked on hit, so a key reused
+    with a different-sized point set can never return a stale table; FIFO
+    eviction bounds device residency to _FIXED_TABLE_CAP tables."""
+    n = px.shape[0]
+    ck = (key, n, field, c)
+    entry = _fixed_tables.get(ck)
     if entry is None:
         entry = _make_fixed_table_dev(px, py, pz, field, c)
-        _fixed_tables[(key, field, c)] = entry
+        while len(_fixed_tables) >= _FIXED_TABLE_CAP:
+            _fixed_tables.pop(next(iter(_fixed_tables)))
+        _fixed_tables[ck] = entry
+    assert entry[0].shape[1] == (256 // c) * n, "fixed-base table width mismatch"
     return entry
 
 

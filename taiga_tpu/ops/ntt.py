@@ -109,6 +109,86 @@ def _coset_powers(k: int, field: str, g: int, inverse: bool):
     return spec.array_to_mont(pows)  # numpy: never cache jnp arrays
 
 
+# ---------------------------------------------------------------------------
+# four-step (Bailey) NTT over a device mesh — SURVEY §5.7-8's multi-device
+# long-transform. n = n1*n2 as an (n1, n2) matrix: length-n1 column NTTs,
+# twiddle scaling by w^(j1*i2), length-n2 row NTTs, transpose. Each resharding
+# between the column phase and the row phase is ONE lax.all_to_all over the
+# mesh axis (the classic distributed-FFT transpose riding ICI), so a domain
+# larger than a chip's HBM splits across the mesh with only O(n/D) per-device
+# memory and three collective transposes.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _four_step_twiddles(k: int, k1: int, field: str, inverse: bool):
+    """T[j1, i2] = w^(±j1*i2) Montgomery, shape (2^k1, 2^(k-k1), 16) numpy."""
+    spec = _spec(field)
+    p = spec.modulus
+    n1, n2 = 1 << k1, 1 << (k - k1)
+    omega, omega_inv, _, _ = domain_params(k, field)
+    w = omega_inv if inverse else omega
+    rows = np.empty((n1, n2), dtype=object)
+    for j1 in range(n1):
+        base = pow(w, j1, p)
+        acc = 1
+        row = rows[j1]
+        for i2 in range(n2):
+            row[i2] = acc
+            acc = acc * base % p
+    flat = spec.array_to_mont([int(v) for v in rows.reshape(-1)])
+    return flat.reshape(n1, n2, L.NLIMBS)
+
+
+def ntt_mesh(mesh, x, k: int, field: str = "fp", inverse: bool = False,
+             axis: str = "shards"):
+    """Distributed NTT of a (2^k, 16) Montgomery limb tensor over `mesh`'s
+    `axis` (D devices): four-step decomposition with all_to_all transposes.
+    Input/output are NATURAL order, sharded contiguously along the mesh axis.
+    Requires D | 2^k1 and D | 2^k2 (k1 = ceil(k/2)). Bit-exact vs ntt()/intt()
+    (tests/test_ntt.py::test_mesh_four_step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    spec = _spec(field)
+    n = 1 << k
+    k1 = (k + 1) // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    D = mesh.shape[axis]
+    assert n1 % D == 0 and n2 % D == 0, (
+        f"four-step NTT needs D | n1 and D | n2 (D={D}, n1={n1}, n2={n2})")
+    tw = jnp.asarray(_four_step_twiddles(k, k1, field, inverse))
+
+    def local(a_blk, tw_blk):
+        # a_blk: (n1/D, n2, 16) row shard of A = x.reshape(n1, n2, 16)
+        # -> column shard (n1, n2/D, 16): one all_to_all transpose
+        a = jax.lax.all_to_all(a_blk, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        # length-n1 column NTTs (local): put the transform on axis -2
+        a = jnp.swapaxes(a, 0, 1)  # (n2/D, n1, 16)
+        a = _ntt_core(a, k1, field, inverse)
+        a = jnp.swapaxes(a, 0, 1)  # (n1, n2/D, 16)
+        a = L.mont_mul(a, tw_blk, spec)
+        # -> row shard (n1/D, n2, 16): second all_to_all transpose
+        a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1, tiled=True)
+        # length-n2 row NTTs (local)
+        # (inverse: the sub-NTTs scaled by 1/n1 and 1/n2 — 1/n total)
+        a = _ntt_core(a, k2, field, inverse)
+        # output X[j1 + n1*j2] = D[j1, j2]: transpose to column shards and
+        # flatten locally — device d then holds the contiguous X block d
+        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0, tiled=True)
+        return jnp.swapaxes(a, 0, 1).reshape(n1 * (n2 // D), L.NLIMBS)
+
+    fn = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(Pspec(axis), Pspec(None, axis)),
+        out_specs=Pspec(axis),
+    ))
+    out = fn(x.reshape(n1, n2, L.NLIMBS), tw)
+    return out.reshape(n, L.NLIMBS)
+
+
 @partial(jax.jit, static_argnames=("k", "field", "g"))
 def coset_ntt(coeffs, k: int, field: str = "fp", g: int = 5):
     """Evaluations over the coset g*H (H = 2^k subgroup)."""

@@ -64,6 +64,9 @@ def _local_msm_bitserial(pxs, pys, pzs, sls, spec, bits: int = 255):
     it unusable on the virtual test mesh. Real meshes (TPU) use the
     Pippenger strategy instead."""
     C, n_local = sls.shape[0], sls.shape[1]
+    assert n_local & (n_local - 1) == 0, (
+        f"bitserial tree reduction needs a power-of-two local shard, got "
+        f"{n_local} (pad the point/scalar arrays or use a power-of-two mesh)")
     base = (pxs, pys, pzs)  # (n, 16) each
     acc = tuple(jnp.zeros((C, n_local, L.NLIMBS), jnp.uint32) for _ in range(3))
 

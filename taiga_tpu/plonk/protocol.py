@@ -122,6 +122,56 @@ def protocol_for(vk) -> tuple[list[Expression], list[tuple[str, int, int]]]:
     return cached
 
 
+def protocol_compiled(vk):
+    """The verifier's whole vanishing-identity fold compiled ONCE per vk into
+    a flat Python code object: acc = ((0*y + e_0)*y + e_1)... % P. Returns
+    (fn, cells) where fn(cell_vals, beta, gamma, theta, y) -> acc and `cells`
+    is the ordered (kind, index, rotation) list whose values the caller
+    supplies. ~10x faster than the recursive eval_at_point walk per verify."""
+    cached = getattr(vk, "_protocol_compiled_cache", None)
+    if cached is None:
+        from .expression import Negated, Product, Sum
+
+        exprs, _ = protocol_for(vk)
+        cells: list[tuple[str, int, int]] = []
+        index: dict = {}
+        names = {"beta": "B", "gamma": "G", "theta": "T"}
+
+        def emit(e) -> str:
+            if isinstance(e, Constant):
+                return str(e.value % P)
+            if isinstance(e, ChallengeVar):
+                return names[e.name]
+            if isinstance(e, Cell):
+                key = (e.kind, e.index, e.rotation)
+                i = index.get(key)
+                if i is None:
+                    i = len(cells)
+                    index[key] = i
+                    cells.append(key)
+                return f"V[{i}]"
+            if isinstance(e, Sum):
+                return f"({emit(e.a)}+{emit(e.b)})"
+            if isinstance(e, Product):
+                return f"({emit(e.a)}*{emit(e.b)}%P)"
+            if isinstance(e, Negated):
+                return f"(-{emit(e.a)})"
+            raise TypeError(type(e))
+
+        lines = ["def _acc(V, B, G, T, Y, P):", "    a = 0"]
+        for e in exprs:
+            lines.append(f"    a = (a*Y + ({emit(e)})) % P")
+        lines.append("    return a")
+        ns: dict = {}
+        exec("\n".join(lines), ns)  # noqa: S102 — self-generated code
+        cached = (ns["_acc"], cells)
+        try:
+            vk._protocol_compiled_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
 def collect_queries(exprs: list[Expression], num_fixed: int) -> list[tuple[str, int, int]]:
     """Ordered opening queries for committed columns: (kind, index, rotation).
 

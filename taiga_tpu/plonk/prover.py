@@ -913,8 +913,8 @@ def _create_proof_device(pk: ProvingKey, circuit, instance: list[Fp]) -> bytes:
         ap_u, sp_u, lk_ok = LS.permute_pairs_device(lk_a_v, lk_s_v, u)
         try:
             lk_ok.copy_to_host_async()
-        except Exception:
-            pass
+        except (AttributeError, NotImplementedError):
+            pass  # backend lacks async copy; device_get later still works
         # blinding rows drawn per lookup ap-then-sp — the same _rand() order
         # as the host prover, keeping seeded host/device proofs bit-identical
         rand_rows = [
@@ -1171,8 +1171,8 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
             lk_s_vb.reshape(B * nlk, n, L.NLIMBS), u)
         try:
             lk_ok.copy_to_host_async()
-        except Exception:
-            pass
+        except (AttributeError, NotImplementedError):
+            pass  # backend lacks async copy; device_get later still works
         # per (proof, lookup) ap-then-sp rand order (matches the host prover)
         rand_rows = [
             np.asarray(L.FP.array_to_mont([_rand() for _ in range(n - u)]))

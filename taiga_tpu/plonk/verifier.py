@@ -27,8 +27,8 @@ from .protocol import (
     SIGMA,
     XID,
     Z,
-    eval_at_point,
     num_chunks,
+    protocol_compiled,
     protocol_for,
     transparent_eval,
 )
@@ -119,8 +119,7 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
     h_c = [tr.read_point() for _ in range(NUM_H_PIECES)]
     x = tr.challenge(b"x").v
 
-    exprs, queries = protocol_for(vk)
-    challenges = {"beta": beta, "gamma": gamma, "theta": theta}
+    _, queries = protocol_for(vk)
     evals = {}
     for q in queries:
         evals[q] = tr.read_scalar().v
@@ -138,9 +137,8 @@ def _verify(vk: VerifyingKey, instance: list[Fp], proof: bytes,
             transparent_memo[key] = v
         return v
 
-    acc = 0
-    for e in exprs:
-        acc = (acc * y + eval_at_point(e, getter, challenges)) % P
+    acc_fn, cells = protocol_compiled(vk)
+    acc = acc_fn([getter(*c) for c in cells], beta, gamma, theta, y, P)
     zh = (pow(x, n, P) - 1) % P
     t_x = 0
     xe = pow(x, n, P)

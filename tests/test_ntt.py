@@ -95,3 +95,22 @@ def test_mul_via_ntt():
         for j in range(n // 2):
             exp[(i + j) % n] = (exp[(i + j) % n] + a[i] * b[j]) % p
     assert got == exp
+
+
+def test_mesh_four_step_matches_single_device():
+    """Four-step all_to_all NTT over the 8-device CPU mesh is bit-exact vs
+    the single-device radix-2 path, forward and inverse, both fields."""
+    from taiga_tpu.parallel.sharded import make_mesh
+
+    mesh = make_mesh()
+    k = 10
+    for field, F in (("fp", Fp), ("fq", Fq)):
+        spec = L.FP if field == "fp" else L.FQ
+        vals = [F.random(rng).v for _ in range(1 << k)]
+        arr = jnp.asarray(spec.array_to_mont(vals))
+        fwd_ref = np.asarray(ntt.ntt(arr, k, field))
+        fwd_mesh = np.asarray(ntt.ntt_mesh(mesh, arr, k, field))
+        assert (fwd_ref == fwd_mesh).all()
+        inv_ref = np.asarray(ntt.intt(arr, k, field))
+        inv_mesh = np.asarray(ntt.ntt_mesh(mesh, arr, k, field, inverse=True))
+        assert (inv_ref == inv_mesh).all()
