@@ -560,8 +560,13 @@ def msm_host(points, scalars):
 
 @partial(jax.jit, static_argnames=("field", "c"))
 def _make_fixed_table_dev(px, py, pz, field: str, c: int):
-    """(N, 16) Jacobian Montgomery SRS -> (16, W*N) limb-major projective
-    shifted tables, window-major lanes (lane w*N+i = [2^(c*w)] G_i)."""
+    """(N, 16) Jacobian Montgomery SRS -> (W*N, 24) row-major packed
+    projective shifted table (row w*N+i = [2^(c*w)] G_i; each row is
+    x|y|z as 8 u32 words of packed 16-bit limb pairs).
+
+    Row-major + u16 packing because the MSM's dominant cost is the bucket
+    gather: one 96-byte-row major-axis take beats three minor-axis
+    (16, W*N) takes by ~2.7x measured, and halves the bytes moved."""
     spec = L.FP if field == "fp" else L.FQ
     n = px.shape[0]
     z2 = L.mont_mul(pz, pz, spec)
@@ -581,11 +586,21 @@ def _make_fixed_table_dev(px, py, pz, field: str, c: int):
 
     _, tables = jax.lax.scan(win_step, (x, y, z), None, length=W)
     tx, ty, tz = tables  # (W, 16, N) each
-    return (
-        jnp.moveaxis(tx, 0, 1).reshape(16, W * n),
-        jnp.moveaxis(ty, 0, 1).reshape(16, W * n),
-        jnp.moveaxis(tz, 0, 1).reshape(16, W * n),
-    )
+    flat = [jnp.moveaxis(t, 0, 1).reshape(16, W * n) for t in (tx, ty, tz)]
+    packed = jnp.concatenate(
+        [t[0::2] | (t[1::2] << 16) for t in flat], axis=0)  # (24, W*N)
+    return packed.T  # (W*N, 24)
+
+
+def _unpack_rows_lm(rows_t):
+    """(24, T) packed rows -> three (16, T) limb-major coordinate tensors."""
+    outs = []
+    for ci in range(3):
+        p = rows_t[8 * ci : 8 * (ci + 1)]
+        lo = p & jnp.uint32(0xFFFF)
+        hi = p >> 16
+        outs.append(jnp.stack([lo, hi], axis=1).reshape(16, -1))
+    return outs
 
 
 _fixed_tables: dict = {}
@@ -608,12 +623,12 @@ def fixed_base_table(px, py, pz, key, field: str = "fq", c: int = WINDOW_BITS):
         while len(_fixed_tables) >= _FIXED_TABLE_CAP:
             _fixed_tables.pop(next(iter(_fixed_tables)))
         _fixed_tables[ck] = entry
-    assert entry[0].shape[1] == (256 // c) * n, "fixed-base table width mismatch"
+    assert entry.shape == ((256 // c) * n, 24), "fixed-base table shape mismatch"
     return entry
 
 
 @partial(jax.jit, static_argnames=("field", "c"))
-def _msm_fixed_dev(tx, ty, tz, scalars, field: str, c: int):
+def _msm_fixed_dev(tbl, scalars, field: str, c: int):
     ncols, n = scalars.shape[0], scalars.shape[1]
     W = 256 // c
     nbuckets = 1 << c
@@ -623,14 +638,23 @@ def _msm_fixed_dev(tx, ty, tz, scalars, field: str, c: int):
     digits = jax.vmap(lambda s: _digits_all(s, c))(scalars)  # (C, W, n)
     col_off = jnp.arange(ncols, dtype=jnp.int32)[:, None] * nbuckets
     comp = (digits.reshape(ncols, W * n) + col_off).reshape(total)
-    order = jnp.argsort(comp)
-    d = jnp.take(comp, order)
+    idx_bits = max(1, (total - 1).bit_length())
+    key_bits = max(1, (ncols * nbuckets - 1).bit_length())
+    if idx_bits + key_bits <= 32:
+        # single-operand u32 sort: key in the high bits, lane index in the
+        # low bits — one sort pass instead of a (key, payload) co-sort
+        packed = (comp.astype(jnp.uint32) << idx_bits) | jnp.arange(
+            total, dtype=jnp.uint32)
+        packed = jnp.sort(packed)
+        d = (packed >> idx_bits).astype(comp.dtype)
+        order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(comp)
+        d = jnp.take(comp, order)
     pidx = order % (W * n)  # table lanes repeat per column
-    pts = (
-        jnp.take(tx, pidx, axis=1),
-        jnp.take(ty, pidx, axis=1),
-        jnp.take(tz, pidx, axis=1),
-    )
+    # ONE major-axis row gather of the packed 96-byte rows, then unpack —
+    # measured 2.7x cheaper than three minor-axis limb-major gathers
+    pts = tuple(_unpack_rows_lm(jnp.take(tbl, pidx, axis=0).T))
     X, Y, Z = _window_reduce_multi(pts, d, field, c, ncols, W * n, compact)
     # (3, 16, ncols) projective -> (ncols, 3, 16) Jacobian
     spec = L.FP if field == "fp" else L.FQ
@@ -648,7 +672,6 @@ def msm_fixed_multi(table, scalars, field: str = "fq", c: int = WINDOW_BITS,
     Columns are processed in chunks of `col_chunk` to bound the gathered
     working set (a chunk gathers col_chunk * W * N point lanes ~ 200 MB of
     HBM at k=13/c=8/chunk=8)."""
-    tx, ty, tz = table
     C = scalars.shape[0]
     # full chunks of col_chunk columns; the remainder is padded up to the
     # next power of two (zero scalar columns reduce to identity), so the
@@ -665,6 +688,6 @@ def msm_fixed_multi(table, scalars, field: str = "fq", c: int = WINDOW_BITS,
                 [chunk, jnp.zeros((size - take,) + chunk.shape[1:], chunk.dtype)],
                 axis=0,
             )
-        outs.append(_msm_fixed_dev(tx, ty, tz, chunk, field, c)[:take])
+        outs.append(_msm_fixed_dev(table, chunk, field, c)[:take])
         lo += take
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -43,28 +43,30 @@ def main():
     gx, gy, gz = map(jnp.asarray, srs_device(k))
     table = M.fixed_base_table(gx, gy, gz, key=("srs", k), field="fq")
     jax.block_until_ready(table)
-    tx, ty, tz = table
 
     sc = jnp.asarray(rng.integers(0, 1 << 16, (ncols, n, L.NLIMBS),
                                   dtype=np.uint32))
 
     # full MSM
-    f_full = jax.jit(lambda s: M._msm_fixed_dev(tx, ty, tz, s, "fq", c))
+    f_full = jax.jit(lambda s: M._msm_fixed_dev(table, s, "fq", c))
     timeit("full fixed-base MSM", f_full, sc)
 
-    # sort + gather only
+    # sort + gather only (the packed row-major path the MSM uses)
     @jax.jit
     def sort_gather(s):
         digits = jax.vmap(lambda q: M._digits_all(q, c))(s)
         col_off = jnp.arange(ncols, dtype=jnp.int32)[:, None] * (1 << c)
         comp = (digits.reshape(ncols, W * n) + col_off).reshape(total)
-        order = jnp.argsort(comp)
-        d = jnp.take(comp, order)
+        idx_bits = max(1, (total - 1).bit_length())
+        packed = (comp.astype(jnp.uint32) << idx_bits) | jnp.arange(
+            total, dtype=jnp.uint32)
+        packed = jnp.sort(packed)
+        d = (packed >> idx_bits).astype(comp.dtype)
+        order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
         pidx = order % (W * n)
-        return (jnp.take(tx, pidx, axis=1), jnp.take(ty, pidx, axis=1),
-                jnp.take(tz, pidx, axis=1), d)
+        return (*M._unpack_rows_lm(jnp.take(table, pidx, axis=0).T), d)
 
-    timeit("digits + argsort + 3x gather", sort_gather, sc)
+    timeit("packed sort + row gather + unpack", sort_gather, sc)
 
     # one fused-add round at full width (the reduction's unit cost)
     px = jnp.asarray(rng.integers(0, 1 << 16, (16, total), dtype=np.uint32))
