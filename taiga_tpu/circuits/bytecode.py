@@ -22,6 +22,26 @@ from ..crypto.fields import Fp
 
 _REGISTRY: dict[str, type] = {}
 
+# The reference's full ResourceLogicRepresentation enum
+# (resource_logic_bytecode.rs:33-46). Every name here is a DECLARED
+# representation: it serializes and round-trips on the wire. Names that are
+# declared but have no registered circuit (CascadeIntent — enum-only in the
+# reference too; its match arms fall through to
+# Err(InvalidResourceLogicRepresentation), resource_logic_bytecode.rs:116-117)
+# raise InvalidResourceLogicRepresentation on decode, exactly like the
+# reference's catch-all arm.
+DECLARED_REPRESENTATIONS = (
+    "vamp_ir",  # the reference's VampIR(Vec<u8>) arm; registered in vamp_ir.py
+    "Trivial",
+    "Token",
+    "SignatureVerification",
+    "Receiver",
+    "PartialFulfillmentIntent",
+    "OrRelationIntent",
+    "CascadeIntent",
+    "FieldAddition",
+)
+
 
 def register_resource_logic(name: str):
     """Class decorator: register a ResourceLogicCircuit subclass by name."""

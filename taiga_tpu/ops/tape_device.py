@@ -18,7 +18,7 @@ Execution model:
     `_msub`) — bit-identical to the unrolled path.
 
 The same math at the same width as the host evaluator (native
-`taiga_tape_eval`); differential-tested in tests_tpu/ and tools/tpu_diff.py.
+`taiga_tape_eval`).
 """
 
 from __future__ import annotations

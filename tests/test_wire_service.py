@@ -196,3 +196,29 @@ def test_service_create_and_verify_transaction():
         [bytes([service.OP_VERIFY_TRANSACTION]) + bytes(bad)]
     )
     assert bad_reply[0] == service.STATUS_ERROR
+
+
+def test_cascade_intent_declared_enum_roundtrip():
+    """CascadeIntent parity (reference resource_logic_bytecode.rs:44): the
+    representation is DECLARED — it wire-round-trips like any enum arm — but
+    no circuit backs it, so decode errors exactly like the reference's
+    catch-all Err(InvalidResourceLogicRepresentation) arm (rs:116-117)."""
+    from taiga_tpu.circuits.bytecode import (
+        DECLARED_REPRESENTATIONS,
+        ResourceLogicByteCode,
+        registered_names,
+    )
+    from taiga_tpu.core.error import InvalidResourceLogicRepresentation
+
+    # every implemented circuit name is a declared arm
+    for name in registered_names():
+        assert name in DECLARED_REPRESENTATIONS
+    assert "CascadeIntent" in DECLARED_REPRESENTATIONS
+
+    bc = ResourceLogicByteCode("CascadeIntent", b"\x01\x02\x03")
+    buf = io.BytesIO()
+    wire.write_bytecode(buf, bc)
+    back = wire.read_bytecode(io.BytesIO(buf.getvalue()))
+    assert back.name == "CascadeIntent" and back.inputs == b"\x01\x02\x03"
+    with pytest.raises(InvalidResourceLogicRepresentation):
+        back.decode()
