@@ -59,12 +59,59 @@ def _consts(field: str):
     these are materialized as inline constants inside each kernel body)."""
     spec = L.FP if field == "fp" else L.FQ
     n_list = tuple(int(v) for v in spec.n_limbs)
-    return n_list, int(spec.n0inv)
+    # n0inv is passed statically into every in-kernel helper, so its high
+    # bits carry the field tag (both Pasta primes share the same low-16-bit
+    # n0inv, so the value alone cannot distinguish them). Consumers of the
+    # arithmetic value must mask with MASK.
+    tag = 0x10000 if field == "fp" else 0x20000
+    return n_list, int(spec.n0inv) | tag
+
+
+def _field_by_n0inv(n0inv: int) -> str:
+    assert n0inv & 0x30000, "untagged n0inv (must come from _consts)"
+    return "fp" if n0inv & 0x10000 else "fq"
+
+
+@lru_cache(maxsize=None)
+def _fold_consts(field: str):
+    """Constants for the MXU Montgomery fold (see _mm_fold):
+    M[m, j] = byte m of (2^(8j) * R^-1 mod p)  (33 x 64, bf16-exact),
+    mu bytes (Barrett mu = floor(2^518/p), 34), p bytes (32)."""
+    spec = L.FP if field == "fp" else L.FQ
+    p = spec.modulus
+    rinv = pow(1 << 256, -1, p)
+    M = np.zeros((33, 64), np.float32)
+    for j in range(64):
+        c = (1 << (8 * j)) * rinv % p
+        for m in range(33):
+            M[m, j] = (c >> (8 * m)) & 0xFF
+    mu = (1 << 518) // p
+    mu_b = np.asarray([(mu >> (8 * m)) & 0xFF for m in range(34)], np.uint32)
+    p_b = np.asarray([(p >> (8 * m)) & 0xFF for m in range(32)], np.uint32)
+    n17 = np.zeros(17, np.uint32)
+    n17[:16] = spec.n_limbs
+    return M, mu_b, p_b, n17
+
+
+def _mm_impl() -> str:
+    """"fold" = schoolbook product + MXU constant-matrix Montgomery fold +
+    tiny Barrett tail; "cios" = interleaved CIOS (the original). Read at
+    TRACE time; TAIGA_MM_IMPL overrides."""
+    import os
+
+    return os.environ.get("TAIGA_MM_IMPL", "cios")
 
 
 def _n_col_host(field: str):
     n_list, _ = _consts(field)
     return np.asarray(n_list, np.uint32).reshape(NLIMBS, 1)
+
+
+@lru_cache(maxsize=None)
+def _mf_host(field: str):
+    """The (33, 64) Montgomery-fold byte matrix as f32 (Mosaic forbids
+    in-kernel array constants, so kernels take it as a VMEM input)."""
+    return np.ascontiguousarray(_fold_consts(field)[0], np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -101,8 +148,112 @@ def _reduce(a16, hi, n_col):
     return jnp.where(ge[None, :], d, a16)
 
 
-def _mm(a, b, n_col, n0inv):
-    """Montgomery product of (16, B) canonical limb tensors.
+def _mm(a, b, n_col, n0inv, impl: str | None = None, mf=None):
+    """Montgomery product of (16, B) canonical limb tensors: dispatches to
+    the MXU fold implementation (_mm_fold) or interleaved CIOS (_mm_cios),
+    chosen at trace time (`impl` or TAIGA_MM_IMPL). Both return a*b*R^-1
+    mod p in canonical reduced form — bit-identical outputs. `mf` is the
+    fold matrix ref (required inside pallas kernels; defaulted outside)."""
+    if (impl or _mm_impl()) == "fold":
+        return _mm_fold(a, b, n_col, _field_by_n0inv(n0inv), mf)
+    return _mm_cios(a, b, n_col, n0inv)
+
+
+def _mm_fold(a, b, n_col, field: str, mf=None):
+    """a*b*R^-1 mod p via schoolbook product + one MXU matmul.
+
+    1. full 512-bit product by product-scanning (16 VPU multiplies; the
+       interleaved-CIOS reduction's other 16 multiplies disappear);
+    2. Montgomery reduction as a LINEAR map over the product's 64 bytes:
+       V = sum_j U_j * (2^(8j) R^-1 mod p) === T*R^-1 (mod p), evaluated as
+       a (33x64)@(64,B) bf16 dot on the MXU (all values are integers
+       < 2^24: exact in f32 accumulation);
+    3. V < 2^14.1 * p, so a one-row Barrett step (mu = floor(2^518/p))
+       brings it to [0, 4p); three conditional subtracts canonicalize.
+    """
+    Mf, mu_b, p_b, n17 = _fold_consts(field)
+    if mf is None:
+        mf = jnp.asarray(_mf_host(field))  # plain-XLA path only
+    zero_row = jnp.zeros_like(a[0:1])
+
+    # --- 1. schoolbook product: 33 loose u32 rows (base 2^16, < 2^21) ---
+    t = jnp.concatenate([jnp.zeros_like(a), zero_row], 0)  # (17, B)
+    out_rows = []
+    for i in range(NLIMBS):
+        p = a[i] * b  # (16, B) full u32 products
+        plo = p & MASK
+        phi = p >> W
+        t = t + jnp.concatenate([plo, zero_row], 0) \
+              + jnp.concatenate([zero_row, phi], 0)
+        out_rows.append(t[0])
+        t = jnp.concatenate([t[1:], zero_row], 0)
+    loose = jnp.concatenate([jnp.stack(out_rows), t], 0)  # (33, B)
+
+    # carry-propagate to canonical u16 rows; T < 2^512 so rows 32+ vanish
+    t16 = []
+    carry = jnp.zeros_like(loose[0])
+    for i in range(32):
+        v = loose[i] + carry
+        t16.append(v & MASK)
+        carry = v >> W
+    # byte split -> (64, B) bf16 (exact: values < 256)
+    tb = []
+    for r in t16:
+        tb.append(r & 0xFF)
+        tb.append(r >> 8)
+    # Mosaic has no direct u32->bf16 cast; go via int32/float32
+    tbytes = jnp.stack(tb).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    # --- 2. Montgomery fold on the MXU ---------------------------------
+    v8 = jax.lax.dot_general(
+        mf.astype(jnp.bfloat16), tbytes,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32).astype(jnp.uint32)  # (33, B), < 64*255^2 < 2^22
+    vb = []
+    carry = jnp.zeros_like(v8[0])
+    for i in range(33):
+        v = v8[i] + carry
+        vb.append(v & 0xFF)
+        carry = v >> 8
+    vb.append(carry)  # byte 33: V < 2^269.1
+
+    # --- 3. tiny Barrett: qhat = floor((V >> 254) * mu / 2^264) ---------
+    t_hi = (vb[31] >> 6) | (vb[32] << 2) | (vb[33] << 10)  # (B,) < 2^15.1
+    qprod = [t_hi * jnp.uint32(int(m)) for m in mu_b]  # 34 rows < 2^23
+    carry = jnp.zeros_like(t_hi)
+    qb33 = None
+    for i in range(34):
+        v = qprod[i] + carry
+        if i == 33:
+            qb33 = v & 0xFF
+        carry = v >> 8
+    qhat = qb33 | (carry << 8)  # (B,) < 2^15.1
+    # D = V - qhat*p in [0, 4p), computed loose-signed mod 2^264
+    d = [vb[i].astype(jnp.int32) for i in range(33)]
+    for i in range(32):
+        d[i] = d[i] - (qhat * jnp.uint32(int(p_b[i]))).astype(jnp.int32)
+    db = []
+    carry = jnp.zeros_like(d[0])
+    for i in range(33):
+        v = d[i] + carry
+        db.append((v & 0xFF).astype(jnp.uint32))
+        carry = v >> 8  # arithmetic: signed borrow propagation
+    # regroup to 17 u16 rows; three conditional subtracts of p
+    r17 = jnp.stack([db[2 * i] | (db[2 * i + 1] << 8) for i in range(16)]
+                    + [db[32]])
+    for _ in range(3):
+        sub = []
+        borrow = jnp.zeros_like(r17[0])
+        for i in range(17):
+            dd = r17[i] - jnp.uint32(int(n17[i])) - borrow
+            sub.append(dd & MASK)
+            borrow = (dd >> 31) & 1
+        r17 = jnp.where((borrow == 0)[None], jnp.stack(sub), r17)
+    return r17[:16]
+
+
+def _mm_cios(a, b, n_col, n0inv):
+    """Interleaved CIOS Montgomery product (the pre-round-5 _mm).
 
     CIOS with the inter-iteration row shift FOLDED into one 16-row
     concatenate: the low halves of the limb products land on the
@@ -117,7 +268,7 @@ def _mm(a, b, n_col, n0inv):
         p = a[i] * b  # (16, B) u32 products
         plo = p & MASK
         phi = p >> W
-        m = (((t[0] + plo[0]) & MASK) * n0inv) & MASK
+        m = (((t[0] + plo[0]) & MASK) * (n0inv & MASK)) & MASK
         p2 = m * n_col
         p2lo = p2 & MASK
         p2hi = p2 >> W
@@ -163,11 +314,11 @@ def _mul15(t, n_col):
     return _msub(d, t, n_col)
 
 
-def _ec_add_proj_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
+def _ec_add_proj_core(x1, y1, z1, x2, y2, z2, n_col, n0inv, mf=None):
     """Complete homogeneous-projective addition for a = 0, b3 = 15
     (Renes-Costello-Batina 2015, Algorithm 7). Handles identity (0:1:0) and
     doubling with NO case analysis — 12 muls + 2 cheap b3 scalings."""
-    mm = lambda a, b: _mm(a, b, n_col, n0inv)
+    mm = lambda a, b: _mm(a, b, n_col, n0inv, mf=mf)
     add = lambda a, b: _madd(a, b, n_col)
     sub = lambda a, b: _msub(a, b, n_col)
 
@@ -193,9 +344,9 @@ def _ec_add_proj_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
     return x3, y3, z3
 
 
-def _ec_add_core(x1, y1, z1, x2, y2, z2, n_col, n0inv):
+def _ec_add_core(x1, y1, z1, x2, y2, z2, n_col, n0inv, mf=None):
     """Complete Jacobian addition (compute-both-and-select), in-kernel."""
-    mm = lambda a, b: _mm(a, b, n_col, n0inv)
+    mm = lambda a, b: _mm(a, b, n_col, n0inv, mf=mf)
     add = lambda a, b: _madd(a, b, n_col)
     sub = lambda a, b: _msub(a, b, n_col)
 
@@ -257,6 +408,8 @@ BT = 512  # lanes per block
 
 # the modulus-limb column is replicated to every grid step
 _NC_SPEC = pl.BlockSpec((NLIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+# the Montgomery-fold matrix, likewise replicated
+_MF_SPEC = pl.BlockSpec((33, 64), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _grid_call(kernel, n_in, n_out, B):
@@ -279,15 +432,16 @@ def mont_mul_lm(a, b, field: str = "fq"):
     if not _use_pallas():
         return _mm(a, b, jnp.asarray(_n_col_host(field)), n0inv)
 
-    def kernel(nc_ref, a_ref, b_ref, o_ref):
-        o_ref[:, :] = _mm(a_ref[:, :], b_ref[:, :], nc_ref[:, :], n0inv)
+    def kernel(nc_ref, mf_ref, a_ref, b_ref, o_ref):
+        o_ref[:, :] = _mm(a_ref[:, :], b_ref[:, :], nc_ref[:, :], n0inv,
+                          mf=mf_ref[:, :])
 
     call, spec, _ = _grid_call(kernel, 2, 1, B)
     return call(
         out_shape=jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32),
-        in_specs=[_NC_SPEC, spec, spec],
+        in_specs=[_NC_SPEC, _MF_SPEC, spec, spec],
         out_specs=spec,
-    )(jnp.asarray(_n_col_host(field)), a, b)
+    )(jnp.asarray(_n_col_host(field)), jnp.asarray(_mf_host(field)), a, b)
 
 
 @partial(jax.jit, static_argnames=("field",))
@@ -305,10 +459,10 @@ def ec_add_select_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
             jnp.where(m[None], z3, z1),
         )
 
-    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
+    def kernel(nc_ref, mf_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
         x3, y3, z3 = _ec_add_core(
             x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
-            nc_ref[:, :], n0inv,
+            nc_ref[:, :], n0inv, mf=mf_ref[:, :],
         )
         m = sr[0, :] > 0
         xo[:, :] = jnp.where(m[None], x3, x1r[:, :])
@@ -319,9 +473,10 @@ def ec_add_select_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
     sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
     return call(
         out_shape=(sh, sh, sh),
-        in_specs=[_NC_SPEC] + [spec] * 6 + [lane_spec],
+        in_specs=[_NC_SPEC, _MF_SPEC] + [spec] * 6 + [lane_spec],
         out_specs=(spec, spec, spec),
-    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2, sel)
+    )(jnp.asarray(_n_col_host(field)), jnp.asarray(_mf_host(field)),
+      x1, y1, z1, x2, y2, z2, sel)
 
 
 @partial(jax.jit, static_argnames=("field",))
@@ -333,10 +488,10 @@ def ec_add_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
         nc = jnp.asarray(_n_col_host(field))
         return _ec_add_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
 
-    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+    def kernel(nc_ref, mf_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
         x3, y3, z3 = _ec_add_core(
             x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
-            nc_ref[:, :], n0inv,
+            nc_ref[:, :], n0inv, mf=mf_ref[:, :],
         )
         xo[:, :] = x3
         yo[:, :] = y3
@@ -346,9 +501,10 @@ def ec_add_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
     sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
     return call(
         out_shape=(sh, sh, sh),
-        in_specs=[_NC_SPEC] + [spec] * 6,
+        in_specs=[_NC_SPEC, _MF_SPEC] + [spec] * 6,
         out_specs=(spec, spec, spec),
-    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)
+    )(jnp.asarray(_n_col_host(field)), jnp.asarray(_mf_host(field)),
+      x1, y1, z1, x2, y2, z2)
 
 
 @partial(jax.jit, static_argnames=("field",))
@@ -367,10 +523,10 @@ def ec_add_proj_sel_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
             jnp.where(m[None], z3, z1),
         )
 
-    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
+    def kernel(nc_ref, mf_ref, x1r, y1r, z1r, x2r, y2r, z2r, sr, xo, yo, zo):
         x3, y3, z3 = _ec_add_proj_core(
             x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
-            nc_ref[:, :], n0inv,
+            nc_ref[:, :], n0inv, mf=mf_ref[:, :],
         )
         m = sr[0, :] > 0
         xo[:, :] = jnp.where(m[None], x3, x1r[:, :])
@@ -381,9 +537,10 @@ def ec_add_proj_sel_lm(x1, y1, z1, x2, y2, z2, sel, field: str = "fq"):
     sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
     return call(
         out_shape=(sh, sh, sh),
-        in_specs=[_NC_SPEC] + [spec] * 6 + [lane_spec],
+        in_specs=[_NC_SPEC, _MF_SPEC] + [spec] * 6 + [lane_spec],
         out_specs=(spec, spec, spec),
-    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2, sel)
+    )(jnp.asarray(_n_col_host(field)), jnp.asarray(_mf_host(field)),
+      x1, y1, z1, x2, y2, z2, sel)
 
 
 @partial(jax.jit, static_argnames=("field",))
@@ -395,10 +552,10 @@ def ec_add_proj_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
         nc = jnp.asarray(_n_col_host(field))
         return _ec_add_proj_core(x1, y1, z1, x2, y2, z2, nc, n0inv)
 
-    def kernel(nc_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+    def kernel(nc_ref, mf_ref, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
         x3, y3, z3 = _ec_add_proj_core(
             x1r[:, :], y1r[:, :], z1r[:, :], x2r[:, :], y2r[:, :], z2r[:, :],
-            nc_ref[:, :], n0inv,
+            nc_ref[:, :], n0inv, mf=mf_ref[:, :],
         )
         xo[:, :] = x3
         yo[:, :] = y3
@@ -408,9 +565,10 @@ def ec_add_proj_lm(x1, y1, z1, x2, y2, z2, field: str = "fq"):
     sh = jax.ShapeDtypeStruct((NLIMBS, B), jnp.uint32)
     return call(
         out_shape=(sh, sh, sh),
-        in_specs=[_NC_SPEC] + [spec] * 6,
+        in_specs=[_NC_SPEC, _MF_SPEC] + [spec] * 6,
         out_specs=(spec, spec, spec),
-    )(jnp.asarray(_n_col_host(field)), x1, y1, z1, x2, y2, z2)
+    )(jnp.asarray(_n_col_host(field)), jnp.asarray(_mf_host(field)),
+      x1, y1, z1, x2, y2, z2)
 
 
 def ec_fold_shared_lm(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
@@ -471,7 +629,7 @@ def _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
     n_list, n0inv = _consts(field)
     spec = L.FP if field == "fp" else L.FQ
 
-    def body(x_lo, y_lo, z_lo, x_hi, y_hi, z_hi, s_row, nc, one_col):
+    def body(x_lo, y_lo, z_lo, x_hi, y_hi, z_hi, s_row, nc, one_col, mf=None):
         accx = jnp.zeros_like(x_lo)
         accy = jnp.broadcast_to(one_col, x_lo.shape)
         accz = jnp.zeros_like(z_lo)
@@ -485,18 +643,21 @@ def _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
             for jj in range(16):
                 limb = jnp.where(j == jj, s_row[0, jj], limb)
             bit = (limb >> (i % 16)) & 1
-            nx, ny, nz = _ec_add_proj_core(ax, ay, az, bx, by, bz, nc, n0inv)
+            nx, ny, nz = _ec_add_proj_core(ax, ay, az, bx, by, bz, nc, n0inv,
+                                           mf=mf)
             keep = (bit > 0)
             ax = jnp.where(keep, nx, ax)
             ay = jnp.where(keep, ny, ay)
             az = jnp.where(keep, nz, az)
-            bx, by, bz = _ec_add_proj_core(bx, by, bz, bx, by, bz, nc, n0inv)
+            bx, by, bz = _ec_add_proj_core(bx, by, bz, bx, by, bz, nc, n0inv,
+                                           mf=mf)
             return ax, ay, az, bx, by, bz
 
         accx, accy, accz, _, _, _ = jax.lax.fori_loop(
             0, 255, step, (accx, accy, accz, x_hi, y_hi, z_hi)
         )
-        return _ec_add_proj_core(x_lo, y_lo, z_lo, accx, accy, accz, nc, n0inv)
+        return _ec_add_proj_core(x_lo, y_lo, z_lo, accx, accy, accz, nc, n0inv,
+                                 mf=mf)
 
     one_host = jnp.asarray(np.asarray(spec.one_mont, np.uint32).reshape(NLIMBS, 1))
     if not _use_pallas() or B < 128:
@@ -504,10 +665,10 @@ def _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
         return body(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs, nc,
                     one_host)
 
-    def kernel(nc_ref, one_ref, xl, yl, zl, xh, yh, zh, sr, xo, yo, zo):
+    def kernel(nc_ref, one_ref, mf_ref, xl, yl, zl, xh, yh, zh, sr, xo, yo, zo):
         x3, y3, z3 = body(
             xl[:, :], yl[:, :], zl[:, :], xh[:, :], yh[:, :], zh[:, :],
-            sr[:, :], nc_ref[:, :], one_ref[:, :],
+            sr[:, :], nc_ref[:, :], one_ref[:, :], mf=mf_ref[:, :],
         )
         xo[:, :] = x3
         yo[:, :] = y3
@@ -521,7 +682,7 @@ def _ec_fold_shared_jit(gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs,
         kernel,
         grid=(B // bt,),
         out_shape=(sh, sh, sh),
-        in_specs=[_NC_SPEC, _NC_SPEC] + [spec_b] * 6 + [s_spec],
+        in_specs=[_NC_SPEC, _NC_SPEC, _MF_SPEC] + [spec_b] * 6 + [s_spec],
         out_specs=(spec_b, spec_b, spec_b),
-    )(jnp.asarray(_n_col_host(field)), one_host, gx_lo, gy_lo, gz_lo,
-      gx_hi, gy_hi, gz_hi, scalar_limbs)
+    )(jnp.asarray(_n_col_host(field)), one_host, jnp.asarray(_mf_host(field)),
+      gx_lo, gy_lo, gz_lo, gx_hi, gy_hi, gz_hi, scalar_limbs)
