@@ -266,7 +266,7 @@ def prove_resource_logics_batch(circuits) -> list[ResourceLogicVerifyingInfo]:
     through the lockstep device pipeline on accelerator backends (the
     reference proves a ptx's proofs serially, shielded_ptx.rs:98-134; on
     CPU the zero-compile host prover per proof is already optimal)."""
-    from ..plonk.prover import _use_host_prover, create_proofs_batch
+    from ..plonk.prover import _use_host_prover, create_proofs_pipelined
 
     k = resource_logic_k()
     out: list = [None] * len(circuits)
@@ -277,13 +277,21 @@ def prove_resource_logics_batch(circuits) -> list[ResourceLogicVerifyingInfo]:
     groups: dict[type, list[int]] = {}
     for i, c in enumerate(circuits):
         groups.setdefault(type(c), []).append(i)
+    jobs = []
+    job_meta = []
     for cls, idxs in groups.items():
-        pk = get_proving_key(cls, k)
-        insts = [circuits[i].get_public_inputs() for i in idxs]
         if len(idxs) == 1:
             out[idxs[0]] = prove_resource_logic(circuits[idxs[0]])
             continue
-        proofs = create_proofs_batch(pk, [circuits[i] for i in idxs], insts)
+        pk = get_proving_key(cls, k)
+        insts = [circuits[i].get_public_inputs() for i in idxs]
+        jobs.append((pk, [circuits[i] for i in idxs], insts))
+        job_meta.append((cls, pk, idxs, insts))
+    # cross-group software pipeline: each group's host-bound IPA tails run
+    # under the next group's device stages (create_proofs_pipelined)
+    for proofs, (cls, pk, idxs, insts) in zip(
+        create_proofs_pipelined(jobs), job_meta
+    ):
         vkb = pk.vk.to_bytes()
         for i, inst, pf in zip(idxs, insts, proofs):
             out[i] = ResourceLogicVerifyingInfo(cls.circuit_id(), Proof(pf), inst, vkb)

@@ -279,8 +279,26 @@ def mont_pow(a, e: int, spec: FieldSpec):
 
 
 def mont_inv(a, spec: FieldSpec):
-    """Batched inversion via Fermat (a^(p-2)); a in Montgomery form."""
-    return mont_pow(a, spec.modulus - 2, spec)
+    """Batched inversion via Fermat (a^(p-2)); a in Montgomery form.
+
+    Square-and-multiply as ONE lax.scan over the exponent bits (MSB-first)
+    so the emitted HLO holds two mont_muls, not ~380 chained ones — the
+    unrolled form made XLA-CPU compiles of table-normalization graphs take
+    tens of minutes."""
+    e = spec.modulus - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], np.uint32)
+    )
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont, DTYPE), a.shape)
+
+    def body(r, bit):
+        r = mont_mul(r, r, spec)
+        rm = mont_mul(r, a, spec)
+        return jnp.where((bit > 0), rm, r), None
+
+    out, _ = jax.lax.scan(body, one, bits)
+    return out
 
 
 def select(cond, a, b):

@@ -560,13 +560,17 @@ def msm_host(points, scalars):
 
 @partial(jax.jit, static_argnames=("field", "c"))
 def _make_fixed_table_dev(px, py, pz, field: str, c: int):
-    """(N, 16) Jacobian Montgomery SRS -> (W*N, 24) row-major packed
-    projective shifted table (row w*N+i = [2^(c*w)] G_i; each row is
-    x|y|z as 8 u32 words of packed 16-bit limb pairs).
+    """(N, 16) Jacobian Montgomery SRS -> (W*N, 16) row-major packed AFFINE
+    shifted table (row w*N+i = [2^(c*w)] G_i; each row is x|y as 8 u32
+    words of packed 16-bit limb pairs).
 
     Row-major + u16 packing because the MSM's dominant cost is the bucket
-    gather: one 96-byte-row major-axis take beats three minor-axis
-    (16, W*N) takes by ~2.7x measured, and halves the bytes moved."""
+    gather: one major-axis row take beats three minor-axis (16, W*N) takes
+    by ~2.7x measured. Affine rows (round 5) cut the gathered bytes by a
+    further third vs the projective 24-word rows — the multiples are
+    batch-normalized once at build time (one Fermat inversion over all
+    W*N lanes). Requires every input point to be finite (the identity has
+    no affine form); SRS/fixed-base sets always are."""
     spec = L.FP if field == "fp" else L.FQ
     n = px.shape[0]
     z2 = L.mont_mul(pz, pz, spec)
@@ -586,27 +590,42 @@ def _make_fixed_table_dev(px, py, pz, field: str, c: int):
 
     _, tables = jax.lax.scan(win_step, (x, y, z), None, length=W)
     tx, ty, tz = tables  # (W, 16, N) each
-    flat = [jnp.moveaxis(t, 0, 1).reshape(16, W * n) for t in (tx, ty, tz)]
+    flat = [jnp.moveaxis(t, 0, 1).reshape(16, W * n).T for t in (tx, ty, tz)]
+    # batched affine normalization: x/z, y/z (projective (X:Y:Z))
+    zinv = _mont_inv_jit(flat[2], field)
+    xa = L.mont_mul(flat[0], zinv, spec).T
+    ya = L.mont_mul(flat[1], zinv, spec).T
     packed = jnp.concatenate(
-        [t[0::2] | (t[1::2] << 16) for t in flat], axis=0)  # (24, W*N)
-    return packed.T  # (W*N, 24)
+        [t[0::2] | (t[1::2] << 16) for t in (xa, ya)], axis=0)  # (16, W*N)
+    return packed.T  # (W*N, 16)
 
 
-def _unpack_rows_lm(rows_t):
-    """(24, T) packed rows -> three (16, T) limb-major coordinate tensors."""
+@partial(jax.jit, static_argnames=("field",))
+def _mont_inv_jit(v, field: str):
+    return L.mont_inv(v, L.FP if field == "fp" else L.FQ)
+
+
+def _unpack_rows_lm(rows_t, field: str):
+    """(16, T) packed affine rows -> three (16, T) limb-major projective
+    coordinate tensors (z = 1 in Montgomery form)."""
+    spec = L.FP if field == "fp" else L.FQ
     outs = []
-    for ci in range(3):
+    for ci in range(2):
         p = rows_t[8 * ci : 8 * (ci + 1)]
         lo = p & jnp.uint32(0xFFFF)
         hi = p >> 16
         outs.append(jnp.stack([lo, hi], axis=1).reshape(16, -1))
+    one = jnp.broadcast_to(
+        jnp.asarray(np.asarray(spec.one_mont, np.uint32))[:, None],
+        outs[0].shape)
+    outs.append(one)
     return outs
 
 
 _fixed_tables: dict = {}
 
 
-_FIXED_TABLE_CAP = 3  # device-resident tables (~200 MB each at k=15)
+_FIXED_TABLE_CAP = 3  # device-resident tables (~130 MB each at k=15, affine)
 
 
 def fixed_base_table(px, py, pz, key, field: str = "fq", c: int = WINDOW_BITS):
@@ -623,7 +642,7 @@ def fixed_base_table(px, py, pz, key, field: str = "fq", c: int = WINDOW_BITS):
         while len(_fixed_tables) >= _FIXED_TABLE_CAP:
             _fixed_tables.pop(next(iter(_fixed_tables)))
         _fixed_tables[ck] = entry
-    assert entry.shape == ((256 // c) * n, 24), "fixed-base table shape mismatch"
+    assert entry.shape == ((256 // c) * n, 16), "fixed-base table shape mismatch"
     return entry
 
 
@@ -654,7 +673,7 @@ def _msm_fixed_dev(tbl, scalars, field: str, c: int):
     pidx = order % (W * n)  # table lanes repeat per column
     # ONE major-axis row gather of the packed 96-byte rows, then unpack —
     # measured 2.7x cheaper than three minor-axis limb-major gathers
-    pts = tuple(_unpack_rows_lm(jnp.take(tbl, pidx, axis=0).T))
+    pts = tuple(_unpack_rows_lm(jnp.take(tbl, pidx, axis=0).T, field))
     X, Y, Z = _window_reduce_multi(pts, d, field, c, ncols, W * n, compact)
     # (3, 16, ncols) projective -> (ncols, 3, 16) Jacobian
     spec = L.FP if field == "fp" else L.FQ

@@ -171,6 +171,20 @@ def multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs):
     from .prover import _pack_jit, _from_mont_jit
 
     assert H.available(), "batched hybrid multiopen needs the native engine"
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("TAIGA_PROFILE") == "1"
+    _tm = [_time.time()]
+
+    def _mark(name):
+        if _prof:
+            now = _time.time()
+            print(f"#     mo-batch {name:24s} {now - _tm[0]:7.3f}s",
+                  file=_sys.stderr)
+            _tm[0] = now
+
     params = get_params(pipe.k)
     B = len(trs)
     v_chs = [tr.challenge(b"mo-v").v for tr in trs]
@@ -226,6 +240,7 @@ def multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs):
     n = pipe.n
     h_blinds = [_rand() for _ in range(B)]
     c_hs = pipe.commit_coeff_rows(h_b.reshape(B, n, L.NLIMBS), h_blinds)
+    _mark("agg+h eval + h commit")
     x3s = []
     for bi, tr in enumerate(trs):
         tr.write_point(c_hs[bi])
@@ -236,6 +251,7 @@ def multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs):
         agg_b, x3_m
     )  # (B, G, 16)
     a_np = np.asarray(jax.device_get(_from_mont_jit(a_dev)))
+    _mark("a(x3) evals pull")
 
     w_chs = []
     for bi, tr in enumerate(trs):
@@ -248,6 +264,7 @@ def multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs):
         for bi in range(B)]))
     f_b = f_b_fn(h_b, agg_b, w_pows)
     f_host = L.packed_to_u64(np.asarray(jax.device_get(_pack_jit(f_b))))
+    _mark("f build + pull")
 
     def finish_one(bi):
         f_blind = h_blinds[bi]
@@ -257,9 +274,18 @@ def multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs):
             wp = wp * w_chs[bi] % P
         ipa_open_native(params, f_host[bi], f_blind, x3s[bi], trs[bi])
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("TAIGA_PROFILE") == "1"
+    t0 = _time.time()
     workers = min(4, B)
     if workers > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(finish_one, range(B)))
     else:
         finish_one(0)
+    if _prof:
+        print(f"#     mo-batch native IPA tails ({B} proofs, {workers} wk)"
+              f" {_time.time() - t0:7.3f}s", file=_sys.stderr)

@@ -1090,6 +1090,50 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
     The reference proves a partial transaction's proofs serially
     (shielded_ptx.rs:98-134); this is the batched TPU counterpart. Returns
     one proof byte-string per instance; each verifies independently."""
+    return _batch_phase2(_batch_phase1(pk, circuits, instances, mesh))
+
+
+def create_proofs_pipelined(jobs, chunk: int = 8) -> list[list[bytes]]:
+    """Prove several batches with the host-bound multiopen/IPA tails of each
+    batch OVERLAPPED with the next batch's device stages.
+
+    jobs: [(pk, circuits, instances), ...] — batches may use different
+    proving keys (e.g. a partial transaction's compliance batch followed by
+    its resource-logic batches). Within a job, batches longer than `chunk`
+    are split. The per-proof native IPA tails are pure host work (the C++
+    engine releases the GIL), so running them on a worker thread while the
+    main thread dispatches the next chunk's device stages hides them
+    entirely except for the final chunk's. Returns one list of proof byte
+    strings per job, in order.
+
+    The reference proves every proof serially (shielded_ptx.rs:98-134);
+    this is the cross-batch software pipeline on top of the lockstep
+    batches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pieces = []  # (job_idx, phase1-args)
+    for ji, (pk, circuits, instances) in enumerate(jobs):
+        for lo in range(0, len(circuits), chunk):
+            pieces.append((ji, pk, circuits[lo:lo + chunk],
+                           instances[lo:lo + chunk]))
+    results: list[list[bytes]] = [[] for _ in jobs]
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = None
+        fut_ji = None
+        for ji, pk, cs, insts in pieces:
+            state = _batch_phase1(pk, cs, insts, None)
+            if fut is not None:
+                results[fut_ji].extend(fut.result())
+            fut = ex.submit(_batch_phase2, state)
+            fut_ji = ji
+        if fut is not None:
+            results[fut_ji].extend(fut.result())
+    return results
+
+
+def _batch_phase1(pk: ProvingKey, circuits, instances, mesh=None):
+    """Device-heavy front of the lockstep batch: witness synthesis through
+    query evals. Returns the state _batch_phase2 needs to finish."""
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
     vk = pk.vk
@@ -1342,7 +1386,13 @@ def create_proofs_batch(pk: ProvingKey, circuits, instances, mesh=None) -> list[
             })
         entries_b.append(entries)
     st_t.mark("query evals (batch)")
+    return pipe, all_coeffs_b, entries_b, trs, st_t
 
+
+def _batch_phase2(state) -> list[bytes]:
+    """Host-bound tail of the lockstep batch: hybrid multiopen + native IPA
+    opens. Runs on a worker thread in create_proofs_pipelined."""
+    pipe, all_coeffs_b, entries_b, trs, st_t = state
     from .hybrid_open import multiopen_open_hybrid_batch
 
     multiopen_open_hybrid_batch(pipe, all_coeffs_b, entries_b, trs)

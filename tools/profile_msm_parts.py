@@ -64,7 +64,7 @@ def main():
         d = (packed >> idx_bits).astype(comp.dtype)
         order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
         pidx = order % (W * n)
-        return (*M._unpack_rows_lm(jnp.take(table, pidx, axis=0).T), d)
+        return (*M._unpack_rows_lm(jnp.take(table, pidx, axis=0).T, 'fq'), d)
 
     timeit("packed sort + row gather + unpack", sort_gather, sc)
 
