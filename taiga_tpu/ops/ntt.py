@@ -63,35 +63,92 @@ def _bitrev_jnp(k: int, field: str):
     return jnp.asarray(domain_params(k, field)[3])
 
 
-def _ntt_core(coeffs, k: int, field: str, inverse: bool):
-    """coeffs: (..., n, 16) Montgomery -> (..., n, 16) Montgomery."""
-    spec = _spec(field)
+@lru_cache(maxsize=None)
+def _fixed_geometry_tables(k: int, field: str, inverse: bool):
+    """Per-stage FIXED-GEOMETRY butterfly tables (numpy).
+
+    The classic unrolled stage loop emitted k distinct butterfly programs —
+    the compiled coset_ntt executables measured 25-84 MB EACH, and a fresh
+    process re-uploads every one over the ~10 MB/s device tunnel (the
+    dominant share of the ~500 s per-process warmup). Re-expressing every
+    stage as the SAME gather->butterfly->gather program lets the stage loop
+    roll into one lax.fori_loop: one compiled butterfly, ~10x smaller
+    executables. Tables (stage-stacked gather indices + twiddles) ride in
+    as device arrays, uploaded once per process.
+
+    Returns idxA (k, n/2) int32, idxB (k, n/2), inv_perm (k, n),
+    tw (k, n/2, 16) u32 Montgomery."""
     n = 1 << k
-    x = jnp.take(coeffs, _bitrev_jnp(k, field), axis=-2)
     tables = _twiddle_tables(k, field, inverse)
-    lead = x.shape[:-2]
+    idxA = np.zeros((k, n // 2), np.int32)
+    idxB = np.zeros((k, n // 2), np.int32)
+    invp = np.zeros((k, n), np.int32)
+    tw = np.zeros((k, n // 2, L.NLIMBS), np.uint32)
     for s in range(1, k + 1):
         m = 1 << s
         half = m // 2
-        tw = jnp.asarray(tables[s - 1])  # (half, 16)
-        y = x.reshape(lead + (n // m, m, L.NLIMBS))
-        a = y[..., :half, :]
-        b = L.mont_mul(y[..., half:, :], tw, spec)
-        x = jnp.concatenate([L.add(a, b, spec), L.sub(a, b, spec)], axis=-2)
-        x = x.reshape(lead + (n, L.NLIMBS))
+        ts = np.asarray(tables[s - 1])  # (half, 16)
+        pos = 0
+        for g in range(n // m):
+            base = g * m
+            idxA[s - 1, pos : pos + half] = np.arange(base, base + half)
+            idxB[s - 1, pos : pos + half] = np.arange(base + half, base + m)
+            tw[s - 1, pos : pos + half] = ts
+            invp[s - 1, base : base + half] = np.arange(pos, pos + half)
+            invp[s - 1, base + half : base + m] = np.arange(
+                pos, pos + half) + n // 2
+            pos += half
+    return idxA, idxB, invp, tw
+
+
+_DEV_TABLES: dict = {}
+
+
+def _fixed_geometry_dev(k: int, field: str, inverse: bool):
+    """Device-resident stage tables (uploaded once per process)."""
+    key = (k, field, inverse)
+    t = _DEV_TABLES.get(key)
+    if t is None:
+        idxA, idxB, invp, tw = _fixed_geometry_tables(k, field, inverse)
+        t = tuple(map(jnp.asarray, (idxA, idxB, invp, tw)))
+        _DEV_TABLES[key] = t
+    return t
+
+
+@partial(jax.jit, static_argnames=("k", "field", "inverse"))
+def _ntt_fixed_jit(coeffs, idxA, idxB, invp, tw, k: int, field: str,
+                   inverse: bool):
+    spec = _spec(field)
+    x = jnp.take(coeffs, _bitrev_jnp(k, field), axis=-2)
+
+    def body(s, x):
+        ia = jax.lax.dynamic_index_in_dim(idxA, s, 0, keepdims=False)
+        ib = jax.lax.dynamic_index_in_dim(idxB, s, 0, keepdims=False)
+        ip = jax.lax.dynamic_index_in_dim(invp, s, 0, keepdims=False)
+        ts = jax.lax.dynamic_index_in_dim(tw, s, 0, keepdims=False)
+        a = jnp.take(x, ia, axis=-2)
+        b = L.mont_mul(jnp.take(x, ib, axis=-2), ts, spec)
+        cat = jnp.concatenate([L.add(a, b, spec), L.sub(a, b, spec)], axis=-2)
+        return jnp.take(cat, ip, axis=-2)
+
+    x = jax.lax.fori_loop(0, k, body, x)
     if inverse:
         n_inv_m = jnp.asarray(spec.array_to_mont([domain_params(k, field)[2]])[0])
         x = L.mont_mul(x, n_inv_m, spec)
     return x
 
 
-@partial(jax.jit, static_argnames=("k", "field"))
+def _ntt_core(coeffs, k: int, field: str, inverse: bool):
+    """coeffs: (..., n, 16) Montgomery -> (..., n, 16) Montgomery."""
+    return _ntt_fixed_jit(coeffs, *_fixed_geometry_dev(k, field, inverse),
+                          k, field, inverse)
+
+
 def ntt(coeffs, k: int, field: str = "fp"):
     """Forward NTT: coefficients -> evaluations at omega^i (natural order)."""
     return _ntt_core(coeffs, k, field, False)
 
 
-@partial(jax.jit, static_argnames=("k", "field"))
 def intt(evals, k: int, field: str = "fp"):
     """Inverse NTT: evaluations -> coefficients."""
     return _ntt_core(evals, k, field, True)
@@ -189,16 +246,30 @@ def ntt_mesh(mesh, x, k: int, field: str = "fp", inverse: bool = False,
     return out.reshape(n, L.NLIMBS)
 
 
-@partial(jax.jit, static_argnames=("k", "field", "g"))
+@partial(jax.jit, static_argnames=("k", "field"))
+def _coset_scale_jit(x, cpow, k: int, field: str):
+    return L.mont_mul(x, cpow, _spec(field))
+
+
+def _coset_powers_dev(k: int, field: str, g: int, inverse: bool):
+    key = ("cpow", k, field, g, inverse)
+    t = _DEV_TABLES.get(key)
+    if t is None:
+        t = jnp.asarray(_coset_powers(k, field, g, inverse))
+        _DEV_TABLES[key] = t
+    return t
+
+
 def coset_ntt(coeffs, k: int, field: str = "fp", g: int = 5):
-    """Evaluations over the coset g*H (H = 2^k subgroup)."""
-    spec = _spec(field)
-    scaled = L.mont_mul(coeffs, jnp.asarray(_coset_powers(k, field, g, False)), spec)
+    """Evaluations over the coset g*H (H = 2^k subgroup). Plain function:
+    the scale and the rolled NTT are separate jits taking their tables as
+    arguments, so no multi-MB table ever embeds into an executable."""
+    scaled = _coset_scale_jit(coeffs, _coset_powers_dev(k, field, g, False),
+                              k, field)
     return _ntt_core(scaled, k, field, False)
 
 
-@partial(jax.jit, static_argnames=("k", "field", "g"))
 def coset_intt(evals, k: int, field: str = "fp", g: int = 5):
-    spec = _spec(field)
     coeffs = _ntt_core(evals, k, field, True)
-    return L.mont_mul(coeffs, jnp.asarray(_coset_powers(k, field, g, True)), spec)
+    return _coset_scale_jit(coeffs, _coset_powers_dev(k, field, g, True),
+                            k, field)

@@ -540,11 +540,11 @@ class ProverPipeline:
     def _finish_quotient(self):
         if getattr(self, "_finish_jit", None) is None:
             k3 = self.k + 3
-
-            def finish(acc, zh_inv):
-                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
-
-            self._finish_jit = jax.jit(finish)
+            mul = jax.jit(lambda acc, zh_inv: L.mont_mul(acc, zh_inv, L.FP))
+            # coset_intt stays OUTSIDE the jit: traced inside, its stage
+            # tables would embed as multi-MB executable constants
+            self._finish_jit = lambda acc, zh: ntt.coset_intt(
+                mul(acc, zh), k3, "fp")
         return self._finish_jit
 
     def quotient_coeffs(
@@ -569,12 +569,14 @@ class ProverPipeline:
             ]
             k3 = self.k + 3
 
+            _mulj = jax.jit(lambda acc, zh_inv: L.mont_mul(acc, zh_inv, L.FP))
+
             def finish(acc, zh_inv):
-                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
+                return ntt.coset_intt(_mulj(acc, zh_inv), k3, "fp")
 
             self._quotient_jit = (
                 [(len(g), self._quotient_chunk_fn(g)) for g in groups],
-                jax.jit(finish),
+                finish,  # composed of jits; NOT wrapped (tables stay args)
             )
 
         if not has_lk:
@@ -686,8 +688,10 @@ class ProverPipeline:
                        None, None, None, None, 0, 0, 0, 0)
             k3 = self.k + 3
 
+            _mulj = jax.jit(lambda acc, zh_inv: L.mont_mul(acc, zh_inv, L.FP))
+
             def finish(acc, zh_inv):
-                return ntt.coset_intt(L.mont_mul(acc, zh_inv, L.FP), k3, "fp")
+                return ntt.coset_intt(_mulj(acc, zh_inv), k3, "fp")
 
             def combine_one(p, a, y_pow_m):
                 return L.add(p, L.mont_mul(a, y_pow_m, L.FP), L.FP)
@@ -695,7 +699,7 @@ class ProverPipeline:
             self._quotient_jit_b = (
                 [(len(g), jax.jit(jax.vmap(self._make_quotient_chunk(g), in_axes=in_axes)))
                  for g in groups],
-                jax.jit(jax.vmap(finish, in_axes=(0, None))),
+                finish,  # batch dim handled by the NTT's leading axes
                 jax.jit(jax.vmap(combine_one, in_axes=(0, 0, 0))),
             )
         if not has_lk:
