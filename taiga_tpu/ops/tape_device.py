@@ -18,7 +18,8 @@ Execution model:
     `_msub`) — bit-identical to the unrolled path.
 
 The same math at the same width as the host evaluator (native
-`taiga_tape_eval`).
+`taiga_tape_eval`); differential-tested against it on the real device by
+`tools/tpu_diff.py tape` (PASS recorded round 5).
 """
 
 from __future__ import annotations
