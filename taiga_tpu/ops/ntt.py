@@ -64,74 +64,70 @@ def _bitrev_jnp(k: int, field: str):
 
 
 @lru_cache(maxsize=None)
-def _fixed_geometry_tables(k: int, field: str, inverse: bool):
-    """Per-stage FIXED-GEOMETRY butterfly tables (numpy).
+def _pease_twiddles(k: int, field: str, inverse: bool):
+    """Stage-stacked twiddles for the constant-geometry (Pease) DIF NTT.
 
-    The classic unrolled stage loop emitted k distinct butterfly programs —
-    the compiled coset_ntt executables measured 25-84 MB EACH, and a fresh
-    process re-uploads every one over the ~10 MB/s device tunnel (the
-    dominant share of the ~500 s per-process warmup). Re-expressing every
-    stage as the SAME gather->butterfly->gather program lets the stage loop
-    roll into one lax.fori_loop: one compiled butterfly, ~10x smaller
-    executables. Tables (stage-stacked gather indices + twiddles) ride in
-    as device arrays, uploaded once per process.
+    Every stage is the SAME butterfly on static slices — u = x[:n/2],
+    v = x[n/2:], out interleaved as (u+v, (u-v)*tw) — so the stage loop
+    rolls into one lax.fori_loop with NO gathers (the first rolled version
+    used 3 per-stage gathers and cost ~1.5x the unrolled NTT at steady
+    state; TPU gathers are slow). Output is bit-reversed: one final take.
 
-    Returns idxA (k, n/2) int32, idxB (k, n/2), inv_perm (k, n),
-    tw (k, n/2, 16) u32 Montgomery."""
+    The unrolled per-stage loop this replaces compiled 25-84 MB executables
+    per (shape, k) variant — a fresh process re-uploaded every one over the
+    ~10 MB/s device tunnel, dominating the ~500 s warmup.
+
+    tw[s, j] = w^(2^s * (j >> s)), w = omega (or omega^-1 for the inverse);
+    validated against the reference DFT and bit-exact vs the host NTT
+    (tests/test_ntt.py, tools/tpu_diff.py ntt)."""
+    spec = _spec(field)
+    pmod = spec.modulus
     n = 1 << k
-    tables = _twiddle_tables(k, field, inverse)
-    idxA = np.zeros((k, n // 2), np.int32)
-    idxB = np.zeros((k, n // 2), np.int32)
-    invp = np.zeros((k, n), np.int32)
-    tw = np.zeros((k, n // 2, L.NLIMBS), np.uint32)
-    for s in range(1, k + 1):
-        m = 1 << s
-        half = m // 2
-        ts = np.asarray(tables[s - 1])  # (half, 16)
-        pos = 0
-        for g in range(n // m):
-            base = g * m
-            idxA[s - 1, pos : pos + half] = np.arange(base, base + half)
-            idxB[s - 1, pos : pos + half] = np.arange(base + half, base + m)
-            tw[s - 1, pos : pos + half] = ts
-            invp[s - 1, base : base + half] = np.arange(pos, pos + half)
-            invp[s - 1, base + half : base + m] = np.arange(
-                pos, pos + half) + n // 2
-            pos += half
-    return idxA, idxB, invp, tw
+    omega, omega_inv, _, _ = domain_params(k, field)
+    w = omega_inv if inverse else omega
+    tw = np.zeros((max(k, 1), n // 2, L.NLIMBS), np.uint32)
+    for s in range(k):
+        step = pow(w, 1 << s, pmod)
+        m = max(1, (n // 2) >> s)
+        vals = [1] * m
+        for i in range(1, m):
+            vals[i] = vals[i - 1] * step % pmod
+        row = np.repeat(np.asarray(spec.array_to_mont(vals)), 1 << s, axis=0)
+        tw[s] = row[: n // 2]
+    return tw
 
 
 _DEV_TABLES: dict = {}
 
 
-def _fixed_geometry_dev(k: int, field: str, inverse: bool):
-    """Device-resident stage tables (uploaded once per process)."""
+def _pease_twiddles_dev(k: int, field: str, inverse: bool):
+    """Device-resident twiddle stack (uploaded once per process)."""
     key = (k, field, inverse)
     t = _DEV_TABLES.get(key)
     if t is None:
-        idxA, idxB, invp, tw = _fixed_geometry_tables(k, field, inverse)
-        t = tuple(map(jnp.asarray, (idxA, idxB, invp, tw)))
+        t = jnp.asarray(_pease_twiddles(k, field, inverse))
         _DEV_TABLES[key] = t
     return t
 
 
 @partial(jax.jit, static_argnames=("k", "field", "inverse"))
-def _ntt_fixed_jit(coeffs, idxA, idxB, invp, tw, k: int, field: str,
-                   inverse: bool):
+def _ntt_fixed_jit(coeffs, tw, k: int, field: str, inverse: bool):
     spec = _spec(field)
-    x = jnp.take(coeffs, _bitrev_jnp(k, field), axis=-2)
+    n = 1 << k
+    half = n // 2
 
     def body(s, x):
-        ia = jax.lax.dynamic_index_in_dim(idxA, s, 0, keepdims=False)
-        ib = jax.lax.dynamic_index_in_dim(idxB, s, 0, keepdims=False)
-        ip = jax.lax.dynamic_index_in_dim(invp, s, 0, keepdims=False)
         ts = jax.lax.dynamic_index_in_dim(tw, s, 0, keepdims=False)
-        a = jnp.take(x, ia, axis=-2)
-        b = L.mont_mul(jnp.take(x, ib, axis=-2), ts, spec)
-        cat = jnp.concatenate([L.add(a, b, spec), L.sub(a, b, spec)], axis=-2)
-        return jnp.take(cat, ip, axis=-2)
+        u = x[..., :half, :]
+        v = x[..., half:, :]
+        c0 = L.add(u, v, spec)
+        c1 = L.mont_mul(L.sub(u, v, spec), ts, spec)
+        y = jnp.stack([c0, c1], axis=-2)  # (..., half, 2, 16)
+        return y.reshape(x.shape)
 
-    x = jax.lax.fori_loop(0, k, body, x)
+    x = jax.lax.fori_loop(0, k, body, coeffs)
+    # Pease output is bit-reversed; one gather back to natural order
+    x = jnp.take(x, _bitrev_jnp(k, field), axis=-2)
     if inverse:
         n_inv_m = jnp.asarray(spec.array_to_mont([domain_params(k, field)[2]])[0])
         x = L.mont_mul(x, n_inv_m, spec)
@@ -140,7 +136,7 @@ def _ntt_fixed_jit(coeffs, idxA, idxB, invp, tw, k: int, field: str,
 
 def _ntt_core(coeffs, k: int, field: str, inverse: bool):
     """coeffs: (..., n, 16) Montgomery -> (..., n, 16) Montgomery."""
-    return _ntt_fixed_jit(coeffs, *_fixed_geometry_dev(k, field, inverse),
+    return _ntt_fixed_jit(coeffs, _pease_twiddles_dev(k, field, inverse),
                           k, field, inverse)
 
 
