@@ -163,8 +163,22 @@ def protocol_compiled(vk):
             lines.append(f"    a = (a*Y + ({emit(e)})) % P")
         lines.append("    return a")
         ns: dict = {}
-        exec("\n".join(lines), ns)  # noqa: S102 — self-generated code
-        cached = (ns["_acc"], cells)
+        try:
+            exec("\n".join(lines), ns)  # noqa: S102 — self-generated code
+            cached = (ns["_acc"], cells)
+        except (RecursionError, SyntaxError, MemoryError):
+            # a future very-deep gate could exceed CPython's expression
+            # nesting limits (ADVICE r4): fall back to the recursive walker
+            def _acc_walk(V, B, G, T, Y, P, _exprs=exprs, _cells=tuple(cells)):
+                vals = {c: v for c, v in zip(_cells, V)}
+                ch = {"beta": B, "gamma": G, "theta": T, "y": Y}
+                a = 0
+                for e in _exprs:
+                    a = (a * Y + eval_at_point(
+                        e, lambda kd, i, r: vals[(kd, i, r)], ch)) % P
+                return a
+
+            cached = (_acc_walk, cells)
         try:
             vk._protocol_compiled_cache = cached
         except AttributeError:
