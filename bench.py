@@ -346,9 +346,12 @@ def main():
     # lines above or starve the other.
     attest_reserve = int(os.environ.get("TAIGA_ATTEST_RESERVE", "420"))
     if os.environ.get("TAIGA_BENCH_K15", "1") == "1" and k != 15:
-        budget = min(int(os.environ.get("TAIGA_BENCH_K15_BUDGET", "900")),
+        budget = min(int(os.environ.get("TAIGA_BENCH_K15_BUDGET", "1200")),
                      rem(reserve=attest_reserve + 60))
-        if budget > 300:
+        # measured: the k=15 warmup alone is ~1000 s fresh (BENCH_K15_LOCAL
+        # .md) — a smaller budget is a doomed attempt that starves the
+        # attestation tier, so only start it with real headroom
+        if budget > 1100:
             _log(f"running apples-to-apples k=15 tier1 (budget {budget}s)")
             _with_budget(budget, "k=15 tier",
                          lambda: tier1_full_proof(15, label="action_k15"))
