@@ -27,13 +27,13 @@ BASELINE_VERIFIES_PER_SEC = 1.0 / 0.036359
 
 # Budget-sized tests_tpu subset for the in-bench attestation (full tier is
 # ~24 min cold on the chip — run builder-side; see attest_tpu_kernel_tier).
-# Chosen by measured per-test cost (pytest --durations, tests_tpu/): the
-# production-shape NTT/MSM compiles dominate; these cover every kernel
-# family (EC add, mont dot, poly eval/division, IPA fold, Poseidon) without
-# the two most expensive compile walls.
+# Chosen by measured per-test cost (pytest --durations, 2026-08-21:
+# cumprod 450s, fixed_base 385s, msm 215s excluded; the six below summed
+# ~234s cold): covers EC add, mont dot, poly eval/division, the IPA
+# generator fold and the padded L/R MSM.
 ATTEST_FAST_SUBSET = ("mont_dot or ec_add_projective or poly_eval or "
                       "synthetic_division or ipa_generator_fold or "
-                      "cumprod_and_inversion")
+                      "lr_msm_padded_projective")
 
 
 _EMITTED: list[dict] = []
