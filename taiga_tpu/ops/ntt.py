@@ -101,11 +101,17 @@ _DEV_TABLES: dict = {}
 
 
 def _pease_twiddles_dev(k: int, field: str, inverse: bool):
-    """Device-resident twiddle stack (uploaded once per process)."""
+    """Device-resident twiddle stack (uploaded once per process).
+
+    NEVER caches under an active trace: jnp.asarray returns a TRACER there,
+    and caching it poisons every later call (UnexpectedTracerError — caught
+    when the bench's tier2 jit touched the NTT before any eager call)."""
     key = (k, field, inverse)
     t = _DEV_TABLES.get(key)
     if t is None:
         t = jnp.asarray(_pease_twiddles(k, field, inverse))
+        if isinstance(t, jax.core.Tracer):
+            return t  # constant in the caller's trace — do NOT cache
         _DEV_TABLES[key] = t
     return t
 
@@ -252,6 +258,8 @@ def _coset_powers_dev(k: int, field: str, g: int, inverse: bool):
     t = _DEV_TABLES.get(key)
     if t is None:
         t = jnp.asarray(_coset_powers(k, field, g, inverse))
+        if isinstance(t, jax.core.Tracer):
+            return t  # see _pease_twiddles_dev
         _DEV_TABLES[key] = t
     return t
 

@@ -114,3 +114,19 @@ def test_mesh_four_step_matches_single_device():
         inv_ref = np.asarray(ntt.intt(arr, k, field))
         inv_mesh = np.asarray(ntt.ntt_mesh(mesh, arr, k, field, inverse=True))
         assert (inv_ref == inv_mesh).all()
+
+
+def test_jit_first_then_eager_no_tracer_poisoning():
+    """Regression: when the FIRST NTT at a (k, field) ran inside an outer
+    jit trace, the device-table cache stored a tracer and every later eager
+    call died with UnexpectedTracerError (caught by the round-5 full-bench
+    rehearsal: tier2's jit ran before tier1's eager prover)."""
+    import jax
+
+    k = 9
+    vals = L.FP.array_to_mont([i + 1 for i in range(1 << k)])
+    arr = jnp.asarray(vals)
+    f = jax.jit(lambda a: ntt.intt(a, k, "fp"))
+    out1 = np.asarray(f(arr))
+    out2 = np.asarray(ntt.intt(arr, k, "fp"))
+    assert (out1 == out2).all()
